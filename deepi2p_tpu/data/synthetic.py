@@ -1,0 +1,82 @@
+"""Synthetic geometry-consistent batches.
+
+Used by the unit tests, the benchmark, and the multi-chip dry-run: random
+point clouds with a known camera pose and intrinsics, shaped exactly like
+the real loaders' 9-tuple contract
+(``data/kitti_pc_img_pose_loader.py:444-446``) minus the metadata fields.
+No real data or pretrained weights required — exercises every layer
+including the solvers (SURVEY.md §7 "minimum end-to-end slice").
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from ..config import Config
+
+
+def _random_pose(rng: np.random.Generator, cfg: Config) -> np.ndarray:
+    """Random pose with the dataset's perturbation amplitudes
+    (``kitti/options.py:39-44`` etc.)."""
+    ax = rng.uniform(-cfg.P_Rx_amplitude, cfg.P_Rx_amplitude)
+    ay = rng.uniform(-cfg.P_Ry_amplitude, cfg.P_Ry_amplitude)
+    az = rng.uniform(-cfg.P_Rz_amplitude, cfg.P_Rz_amplitude)
+    cx, sx = np.cos(ax), np.sin(ax)
+    cy, sy = np.cos(ay), np.sin(ay)
+    cz, sz = np.cos(az), np.sin(az)
+    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    R = Rz @ Ry @ Rx
+    t = np.array([rng.uniform(-cfg.P_tx_amplitude, cfg.P_tx_amplitude),
+                  rng.uniform(-cfg.P_ty_amplitude, cfg.P_ty_amplitude),
+                  rng.uniform(-cfg.P_tz_amplitude, cfg.P_tz_amplitude)])
+    P = np.eye(4, dtype=np.float32)
+    P[:3, :3] = R.astype(np.float32)
+    P[:3, 3] = t.astype(np.float32)
+    return P
+
+
+def synthetic_batch(cfg: Config, batch_size: int | None = None,
+                    seed: int = 0) -> Dict[str, np.ndarray]:
+    """A full training batch of synthetic data (numpy, host-side)."""
+    rng = np.random.default_rng(seed)
+    B = batch_size or cfg.batch_size
+    N, Ma, Mb = cfg.input_pt_num, cfg.node_a_num, cfg.node_b_num
+
+    # Points roughly in front of a camera at ~5..40 m, some behind/off-side.
+    pc = np.stack([rng.uniform(-30, 30, (B, N)),
+                   rng.uniform(-5, 5, (B, N)),
+                   rng.uniform(-10, 40, (B, N))], axis=-1).astype(np.float32)
+    intensity = rng.uniform(0, 1, (B, N, 1)).astype(np.float32)
+    sn = rng.normal(size=(B, N, 3)).astype(np.float32)
+    sn /= np.linalg.norm(sn, axis=-1, keepdims=True)
+    node_idx_a = rng.choice(N, (B, Ma))
+    node_idx_b = rng.choice(N, (B, Mb))
+    node_a = np.take_along_axis(pc, node_idx_a[..., None], axis=1)
+    node_b = np.take_along_axis(pc, node_idx_b[..., None], axis=1)
+
+    P = np.stack([_random_pose(rng, cfg)[:3] for _ in range(B)])
+    f = 0.6 * cfg.img_W
+    K = np.tile(np.array([[f, 0, cfg.img_W / 2],
+                          [0, f, cfg.img_H / 2],
+                          [0, 0, 1]], np.float32), (B, 1, 1))
+    img = rng.uniform(0, 255, (B, cfg.img_H, cfg.img_W, 3)).astype(np.float32)
+
+    return dict(pc=pc, intensity=intensity, sn=sn, node_a=node_a,
+                node_b=node_b, P=P.astype(np.float32), img=img, K=K)
+
+
+class SyntheticDataset:
+    """Iterable of synthetic batches (for smoke-training runs)."""
+
+    def __init__(self, cfg: Config, length: int = 16, seed: int = 0):
+        self.cfg, self.length, self.seed = cfg, length, seed
+
+    def __len__(self):
+        return self.length
+
+    def __iter__(self):
+        for i in range(self.length):
+            yield synthetic_batch(self.cfg, seed=self.seed * 100003 + i)

@@ -1,0 +1,85 @@
+"""End-to-end train-step tests on synthetic data (SURVEY.md §7 slice)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deepi2p_tpu import config
+from deepi2p_tpu.data import synthetic_batch
+from deepi2p_tpu.train import Engine, focal_loss, masked_fine_ce
+from deepi2p_tpu.train.engine import make_lr_schedule
+from deepi2p_tpu.ops.projection import generate_labels
+
+
+def test_focal_loss_matches_naive(rng):
+    """Numerics vs a direct transcription of the formula
+    (models/focal_loss.py:90-101)."""
+    logits = rng.normal(size=(4, 6, 2)).astype(np.float32)
+    labels = rng.integers(0, 2, size=(4, 6))
+    got = float(focal_loss(jnp.asarray(logits), jnp.asarray(labels)))
+
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    p = e / e.sum(-1, keepdims=True) + 1e-6
+    onehot = np.eye(2)[labels] + 1e-6
+    focal = -0.5 * (1 - p) ** 2 * np.log(p)
+    want = float(np.mean(np.sum(onehot * focal, axis=-1)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_masked_fine_ce_matches_gathered(rng):
+    B, N, L = 2, 12, 6
+    logits = rng.normal(size=(B, N, L)).astype(np.float32)
+    labels = rng.integers(0, L, size=(B, N))
+    mask = rng.integers(0, 2, size=(B, N))
+    if mask.sum() == 0:
+        mask[0, 0] = 1
+    got = float(masked_fine_ce(jnp.asarray(logits), jnp.asarray(labels),
+                               jnp.asarray(mask)))
+    # naive: gather insiders, mean CE — the reference's dynamic-shape path
+    logp = logits - np.log(np.exp(logits - logits.max(-1, keepdims=True))
+                           .sum(-1, keepdims=True)) - logits.max(-1, keepdims=True)
+    ce = -np.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    want = float(ce[mask == 1].mean())
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_lr_schedule():
+    cfg = config.tiny().replace(lr=1e-3, lr_decay_step=2, lr_decay_scale=0.5)
+    sched = make_lr_schedule(cfg, steps_per_epoch=10)
+    np.testing.assert_allclose(float(sched(0)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(19)), 1e-3, rtol=1e-6)   # epoch 1
+    np.testing.assert_allclose(float(sched(20)), 5e-4, rtol=1e-6)   # epoch 2
+    np.testing.assert_allclose(float(sched(40)), 2.5e-4, rtol=1e-6) # epoch 4
+    np.testing.assert_allclose(float(sched(100000)), 1e-5, rtol=1e-6)  # clip
+
+
+def test_train_step_decreases_loss():
+    cfg = config.tiny()
+    eng = Engine(cfg, steps_per_epoch=100)
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(cfg, seed=1).items()}
+    state = eng.init_state(jax.random.PRNGKey(0), batch)
+
+    losses = []
+    for i in range(8):
+        state, metrics = eng.train_step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+    assert int(state.step) == 8
+    # optimising on one repeated batch must reduce the loss
+    assert losses[-1] < losses[0]
+
+    eval_metrics = eng.eval_step(state, batch)
+    assert np.isfinite(float(eval_metrics["loss"]))
+    coarse_pred, fine_pred = eng.infer(state, batch)
+    assert coarse_pred.shape == (cfg.batch_size, cfg.input_pt_num)
+    assert fine_pred.shape == (cfg.batch_size, cfg.input_pt_num)
+    assert set(np.unique(np.asarray(coarse_pred))) <= {0, 1}
+
+
+def test_labels_inside_fraction_sane():
+    cfg = config.tiny()
+    b = synthetic_batch(cfg, seed=3)
+    labels = generate_labels(jnp.asarray(b["pc"]), jnp.asarray(b["P"]),
+                             jnp.asarray(b["K"]), cfg.img_H, cfg.img_W,
+                             cfg.img_fine_resolution_scale)
+    frac = float(np.mean(np.asarray(labels.coarse)))
+    assert 0.0 < frac < 0.9
