@@ -1,0 +1,82 @@
+"""Mesh construction and sharding rules.
+
+Strategy (How-to-Scale-Your-Model recipe: pick a mesh, annotate shardings,
+let XLA/GSPMD insert the collectives):
+
+  * mesh axes ('data', 'model');
+  * batch tensors: leading axis sharded over 'data' (pure DP — gradient
+    psum rides ICI, replacing the reference's implicit DataParallel
+    all-reduce, ``models/multimodal_classifier.py:37-38``);
+  * parameters/optimiser state: replicated by default; the widest Dense
+    kernels (attention heads, 1024/512-channel MLPs) are sharded over
+    'model' on their output axis — a real tensor-parallel layout at
+    ~30M params scale, validated by the multi-chip dry-run.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Config
+from ..train.engine import Engine, TrainState
+
+
+def make_mesh(n_model: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    assert n % n_model == 0, f"{n} devices not divisible by model={n_model}"
+    arr = np.asarray(devices).reshape(n // n_model, n_model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    s = batch_sharding(mesh)
+    return {k: jax.device_put(v, s) for k, v in batch.items()}
+
+
+def _leaf_spec(x, min_shard_dim: int, n_model: int) -> P:
+    """Shard the trailing (output-channel) axis of wide kernels over 'model'."""
+    shape = getattr(x, "shape", ())
+    if (len(shape) >= 2 and shape[-1] >= min_shard_dim
+            and shape[-1] % n_model == 0):
+        return P(*([None] * (len(shape) - 1) + ["model"]))
+    return P()
+
+
+def shard_state(mesh: Mesh, state: TrainState,
+                min_shard_dim: int = 512) -> TrainState:
+    """Place a TrainState on the mesh (params + Adam moments share layout)."""
+    n_model = mesh.shape["model"]
+
+    def place(x):
+        spec = _leaf_spec(x, min_shard_dim, n_model) if n_model > 1 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, state)
+
+
+class ShardedEngine(Engine):
+    """Engine whose step functions run SPMD over a device mesh.
+
+    The jitted steps are inherited unchanged — input shardings drive GSPMD
+    propagation; XLA inserts the gradient ``psum`` (DP) and the
+    all-gather/reduce-scatter pairs around 'model'-sharded kernels (TP).
+    """
+
+    def __init__(self, cfg: Config, mesh: Mesh, steps_per_epoch: int = 1000):
+        super().__init__(cfg, steps_per_epoch)
+        self.mesh = mesh
+
+    def init_state(self, rng, example_batch) -> TrainState:
+        state = super().init_state(rng, example_batch)
+        return shard_state(self.mesh, state)
+
+    def place_batch(self, batch):
+        return shard_batch(self.mesh, batch)
