@@ -1,0 +1,251 @@
+"""Inverse-camera-projection registration: batched Levenberg-Marquardt.
+
+TPU-native replacement for the Ceres solver
+(``evaluation/frustum_reg/src/registration.cpp:9-186``) and the
+multiprocessing fan-out that drives it
+(``evaluation/registration_lsq.py:142-186,334-343``): all random
+initialisations for all image-pointcloud pairs are solved simultaneously by
+a ``vmap``-ed fixed-iteration LM loop on-chip.
+
+Cost parity with the reference (2D mode, params ``[ry, tx, ty, tz]``;
+3D mode, params ``[rx, ry, rz, tx, ty, tz]``):
+
+  * inside-labelled point (3 residuals, ``registration_2d.hpp:93-129``):
+    ``[relu(-px) + relu(px - (W-1)), relu(-py) + relu(py - (H-1)),
+       relu(-z) * 100]``
+  * outside-labelled point (1 residual, ``registration_2d.hpp:21-69``):
+    ``(xd + yd) * 1[z>0] * 1[xd>0] * 1[yd>0]`` with
+    ``xd = (W-1)/2 - |px - (W-1)/2|`` (nonzero only when the point wrongly
+    projects inside).  The reference's ``fmax(d,0)/d`` 0/1 gates have zero
+    derivative a.e., so hard ``where`` gates replicate the Ceres autodiff.
+  * Cauchy robustifier ``rho(s) = log(1+s)`` per residual block
+    (``registration.cpp:104,121``); total cost ``0.5 * sum rho(|r_i|^2)``
+    matching ``problem.Evaluate`` semantics (``registration.cpp:149-155``).
+  * box bounds on translation (``registration.cpp:128-135``) via projection
+    after each LM step.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+# --------------------------------------------------------------------------
+# geometry helpers
+# --------------------------------------------------------------------------
+
+def rodrigues(aa: jax.Array) -> jax.Array:
+    """Angle-axis (3,) -> rotation matrix (3,3), smooth near zero."""
+    theta2 = jnp.sum(aa ** 2)
+    theta = jnp.sqrt(theta2 + 1e-24)
+    k = aa / theta
+    K = jnp.array([[0.0, -k[2], k[1]],
+                   [k[2], 0.0, -k[0]],
+                   [-k[1], k[0], 0.0]])
+    s, c = jnp.sin(theta), jnp.cos(theta)
+    R = jnp.eye(3) + s * K + (1.0 - c) * (K @ K)
+    # near-zero fallback: first-order expansion
+    R0 = jnp.eye(3) + jnp.array([[0.0, -aa[2], aa[1]],
+                                 [aa[2], 0.0, -aa[0]],
+                                 [-aa[1], aa[0], 0.0]])
+    return jnp.where(theta2 > 1e-16, R, R0)
+
+
+def _unpack(theta: jax.Array, is_2d: bool):
+    if is_2d:
+        aa = jnp.stack([jnp.zeros(()), theta[0], jnp.zeros(())])
+        return aa, theta[1:4]
+    return theta[:3], theta[3:6]
+
+
+def theta_to_pose(theta: jax.Array, is_2d: bool) -> jax.Array:
+    """Params -> 4x4 pose (``registration.cpp:161-180``)."""
+    aa, t = _unpack(theta, is_2d)
+    P = jnp.eye(4)
+    P = P.at[:3, :3].set(rodrigues(aa))
+    return P.at[:3, 3].set(t)
+
+
+# --------------------------------------------------------------------------
+# residuals / cost
+# --------------------------------------------------------------------------
+
+def _residuals(theta, pts, labels, valid, K, H, W, is_2d: bool):
+    """Blockwise residuals (N, 3).  labels/valid are float (N,)."""
+    aa, t = _unpack(theta, is_2d)
+    R = rodrigues(aa)
+    p = pts @ R.T + t                                   # (N, 3)
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    z = p[:, 2]
+    px = fx * p[:, 0] / z + cx
+    py = fy * p[:, 1] / z + cy
+    H1, W1 = H - 1.0, W - 1.0
+
+    # inside-labelled: pulled toward the frame, z pushed positive
+    r_in = jnp.stack([
+        jnp.maximum(-px, 0.0) + jnp.maximum(px - W1, 0.0),
+        jnp.maximum(-py, 0.0) + jnp.maximum(py - H1, 0.0),
+        jnp.maximum(-z, 0.0) * 100.0,
+    ], axis=-1)                                          # (N, 3)
+
+    # outside-labelled: penalised only when wrongly projecting inside
+    xd = W1 * 0.5 - jnp.abs(px - W1 * 0.5)
+    yd = H1 * 0.5 - jnp.abs(py - H1 * 0.5)
+    gate = ((z > 0) & (xd > 0) & (yd > 0)).astype(p.dtype)
+    r_out = jnp.stack([(xd + yd) * gate,
+                       jnp.zeros_like(xd), jnp.zeros_like(xd)], axis=-1)
+
+    r = jnp.where(labels[:, None] > 0.5, r_in, r_out)
+    return r * valid[:, None]
+
+
+def frustum_cost(theta, pts, labels, valid, K, H, W, is_2d: bool = True):
+    """Robustified total cost: ``0.5 * sum log(1 + |r_block|^2)``."""
+    r = _residuals(theta, pts, labels, valid, K, H, W, is_2d)
+    s = jnp.sum(r ** 2, axis=-1)
+    return 0.5 * jnp.sum(jnp.log1p(s) * valid)
+
+
+# --------------------------------------------------------------------------
+# Levenberg-Marquardt
+# --------------------------------------------------------------------------
+
+class LMResult(NamedTuple):
+    theta: jax.Array
+    cost: jax.Array
+    n_accepted: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "max_iter", "is_2d"))
+def lm_solve(pts, labels, valid, K, theta0, t_lb, t_ub, *,
+             H: int, W: int, max_iter: int = 64,
+             is_2d: bool = True) -> LMResult:
+    """Single-problem LM; ``vmap`` over initialisations x pairs for batches.
+
+    Args:
+      pts (N,3) f32, labels (N,) {0,1}, valid (N,) {0,1} (front-crop mask),
+      K (3,3), theta0 (4,) or (6,), t_lb/t_ub (3,) translation bounds.
+    """
+    P = theta0.shape[0]
+    t_off = 1 if is_2d else 3
+
+    def clip_t(theta):
+        t = jnp.clip(theta[t_off:t_off + 3], t_lb, t_ub)
+        return theta.at[t_off:t_off + 3].set(t)
+
+    res_fn = lambda th: _residuals(th, pts, labels, valid, K, H, W, is_2d)
+    cost_fn = lambda th: frustum_cost(th, pts, labels, valid, K, H, W, is_2d)
+
+    def step(state, _):
+        theta, lam, cost, n_acc = state
+        r = res_fn(theta)                                # (N, 3)
+        J = jax.jacfwd(res_fn)(theta)                    # (N, 3, P)
+        s = jnp.sum(r ** 2, axis=-1)                     # (N,)
+        w = 1.0 / (1.0 + s)                              # Cauchy rho'(s)
+        # normal equations (MXU batched matmuls under vmap)
+        Jw = J * w[:, None, None]
+        Hmat = jnp.einsum("nrp,nrq->pq", Jw, J,
+                          preferred_element_type=jnp.float32)
+        g = jnp.einsum("nrp,nr->p", Jw, r,
+                       preferred_element_type=jnp.float32)
+        damp = lam * jnp.diag(jnp.diagonal(Hmat)) + 1e-9 * jnp.eye(P)
+        delta = -jnp.linalg.solve(Hmat + damp, g)
+        theta_new = clip_t(theta + delta)
+        new_cost = cost_fn(theta_new)
+        accept = new_cost < cost
+        theta = jnp.where(accept, theta_new, theta)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.clip(jnp.where(accept, lam / 3.0, lam * 3.0), 1e-9, 1e9)
+        return (theta, lam, cost, n_acc + accept.astype(jnp.int32)), None
+
+    theta0 = clip_t(theta0)
+    init = (theta0, jnp.asarray(1e-3), cost_fn(theta0), jnp.zeros((), jnp.int32))
+    (theta, _, cost, n_acc), _ = jax.lax.scan(step, init, None,
+                                              length=max_iter)
+    return LMResult(theta=theta, cost=cost, n_accepted=n_acc)
+
+
+# --------------------------------------------------------------------------
+# initial guess & full harness
+# --------------------------------------------------------------------------
+
+def initial_guess(pc, pred_inside):
+    """Yaw init + front-crop validity mask
+    (``evaluation/registration_lsq.py:196-220``).
+
+    Args:
+      pc (N,3), pred_inside (N,) {0,1}.
+    Returns:
+      (init_y_angle scalar, valid (N,) float mask).
+    """
+    m = pred_inside.astype(pc.dtype)
+    cnt = jnp.maximum(jnp.sum(m), 1.0)
+    mean = jnp.sum(pc * m[:, None], axis=0) / cnt
+    src = jnp.arctan2(mean[2], mean[0])
+    ang = src - jnp.pi / 2
+    ang = jnp.mod(ang + jnp.pi, 2 * jnp.pi) - jnp.pi   # wrap_in_pi
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    # z-row of Ry(ang) applied to pc
+    rot_z = -s * pc[:, 0] + c * pc[:, 2]
+    min_in_z = jnp.min(jnp.where(m > 0.5, rot_z, jnp.inf))
+    valid = (rot_z > min_in_z - 10.0).astype(pc.dtype)
+    return ang, valid
+
+
+def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng,
+                        n_inits: int = 60, max_iter: int = 64,
+                        init_t_amplitude: float = 10.0,
+                        ry_sigma: float = 10.0 * jnp.pi / 180.0,
+                        t_lb=(-5.0, -0.1, -10.0), t_ub=(5.0, 0.1, 10.0),
+                        is_2d: bool = True):
+    """Full multi-init solve for a batch of pairs.
+
+    Mirrors ``solve_P_random_perturb`` (``registration_lsq.py:142-186``):
+    per init ``ry ~ N(init_y_angle, ry_sigma)``, ``t = [0, 0, U(-a, a)]``;
+    the min-cost init wins.  Pairs with zero predicted insiders fall back to
+    identity with cost 1e4 (``registration_lsq.py:329-332``).
+
+    Args:
+      pc (B,N,3), pred_inside (B,N) int, K (B,3,3).
+    Returns:
+      (P (B,4,4), cost (B,)).
+    """
+    B = pc.shape[0]
+    t_lb = jnp.asarray(t_lb)
+    t_ub = jnp.asarray(t_ub)
+
+    ang, valid = jax.vmap(initial_guess)(pc, pred_inside)  # (B,), (B,N)
+
+    k1, k2 = jax.random.split(rng)
+    ry = ang[:, None] + ry_sigma * jax.random.normal(k1, (B, n_inits))
+    tz = jax.random.uniform(k2, (B, n_inits), minval=-init_t_amplitude,
+                            maxval=init_t_amplitude)
+    zeros = jnp.zeros_like(ry)
+    if is_2d:
+        theta0 = jnp.stack([ry, zeros, zeros, tz], axis=-1)   # (B, I, 4)
+    else:
+        theta0 = jnp.stack([zeros, ry, zeros, zeros, zeros, tz], axis=-1)
+
+    solve_one = functools.partial(lm_solve, H=H, W=W, max_iter=max_iter,
+                                  is_2d=is_2d)
+    # vmap over inits, then over pairs
+    inner = jax.vmap(lambda th, p, l, v, k:
+                     solve_one(p, l, v, k, th, t_lb, t_ub),
+                     in_axes=(0, None, None, None, None))
+    outer = jax.vmap(inner, in_axes=(0, 0, 0, 0, 0))
+    res = outer(theta0, pc, pred_inside.astype(pc.dtype), valid, K)
+
+    best = jnp.argmin(res.cost, axis=1)                        # (B,)
+    best_theta = jnp.take_along_axis(
+        res.theta, best[:, None, None], axis=1)[:, 0]          # (B, P)
+    best_cost = jnp.take_along_axis(res.cost, best[:, None], axis=1)[:, 0]
+    P_out = jax.vmap(lambda th: theta_to_pose(th, is_2d))(best_theta)
+
+    has_inside = jnp.sum(pred_inside, axis=1) > 0
+    eye = jnp.broadcast_to(jnp.eye(4), P_out.shape)
+    P_out = jnp.where(has_inside[:, None, None], P_out, eye)
+    best_cost = jnp.where(has_inside, best_cost, 1e4)
+    return P_out, best_cost

@@ -1,0 +1,136 @@
+"""Frustum LM solver: convergence on synthetic problems with known pose
+(the reference's solver oracle check, ``evaluation/test_frustum_solver.py``)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepi2p_tpu.register import (frustum_cost, lm_solve, solve_frustum_batch,
+                                  initial_guess, pose_diff, pose_diff_np,
+                                  registration_summary)
+from deepi2p_tpu.register.frustum import theta_to_pose, rodrigues
+from deepi2p_tpu.ops.projection import project_points, coarse_labels
+
+H, W = 160, 512
+K_np = np.array([[300.0, 0, W / 2], [0, 300.0, H / 2], [0, 0, 1]], np.float32)
+
+
+def _make_problem(rng, yaw, t, n=1024):
+    """Random panoramic cloud + GT labels under pose (yaw about y, t)."""
+    theta = rng.uniform(0, 2 * np.pi, n)
+    r = rng.uniform(5, 40, n)
+    pc = np.stack([r * np.cos(theta),
+                   rng.uniform(-2, 2, n),
+                   r * np.sin(theta)], axis=-1).astype(np.float32)
+    c, s = np.cos(yaw), np.sin(yaw)
+    P = np.eye(4, dtype=np.float32)
+    P[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    P[:3, 3] = t
+    pxpy, z = project_points(jnp.asarray(pc[None]), jnp.asarray(P[None, :3]),
+                             jnp.asarray(K_np[None]))
+    labels = np.asarray(coarse_labels(pxpy, z, H, W))[0]
+    return pc, labels, P
+
+
+def test_rodrigues_matches_scipy(rng):
+    from scipy.spatial.transform import Rotation
+    for _ in range(5):
+        aa = rng.normal(size=3).astype(np.float32)
+        got = np.asarray(rodrigues(jnp.asarray(aa)))
+        want = Rotation.from_rotvec(aa).as_matrix()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+    # near-zero
+    got = np.asarray(rodrigues(jnp.zeros(3)))
+    np.testing.assert_allclose(got, np.eye(3), atol=1e-7)
+
+
+def test_pose_diff_matches_scipy(rng):
+    from scipy.spatial.transform import Rotation
+    for i in range(5):
+        Pp = np.eye(4); Pg = np.eye(4)
+        Pp[:3, :3] = Rotation.from_rotvec(rng.normal(size=3) * 0.3).as_matrix()
+        Pp[:3, 3] = rng.normal(size=3)
+        Pg[:3, :3] = Rotation.from_rotvec(rng.normal(size=3) * 0.3).as_matrix()
+        Pg[:3, 3] = rng.normal(size=3)
+        rte_j, rre_j = pose_diff(jnp.asarray(Pp[None]), jnp.asarray(Pg[None]))
+        rte_n, rre_n = pose_diff_np(Pp, Pg)
+        np.testing.assert_allclose(float(rte_j[0]), rte_n, rtol=1e-4)
+        np.testing.assert_allclose(float(rre_j[0]), rre_n, rtol=1e-3, atol=1e-3)
+
+
+def test_cost_zero_at_gt(rng):
+    """Perfect labels at the GT pose give (near) zero cost."""
+    yaw, t = 0.7, np.array([1.0, 0.0, 2.0], np.float32)
+    pc, labels, P = _make_problem(rng, yaw, t)
+    theta_gt = jnp.asarray([yaw, *t])
+    c = float(frustum_cost(theta_gt, jnp.asarray(pc), jnp.asarray(labels),
+                           jnp.ones(len(pc)), jnp.asarray(K_np), H, W))
+    assert c < 1e-3
+
+
+def test_lm_converges_from_perturbed_init(rng):
+    """Mirror of evaluation/test_frustum_solver.py:98-117."""
+    yaw, t = 0.5, np.array([0.5, 0.0, 1.0], np.float32)
+    pc, labels, P = _make_problem(rng, yaw, t)
+    theta0 = jnp.asarray([yaw + 0.15, 0.0, 0.0, 0.0])
+    res = lm_solve(jnp.asarray(pc), jnp.asarray(labels, jnp.float32),
+                   jnp.ones(len(pc)), jnp.asarray(K_np), theta0,
+                   jnp.asarray([-5.0, -0.1, -10.0]),
+                   jnp.asarray([5.0, 0.1, 10.0]),
+                   H=H, W=W, max_iter=64)
+    c0 = float(frustum_cost(theta0, jnp.asarray(pc), jnp.asarray(labels),
+                            jnp.ones(len(pc)), jnp.asarray(K_np), H, W))
+    assert float(res.cost) < c0
+    assert int(res.n_accepted) > 0
+    P_est = np.asarray(theta_to_pose(res.theta, True))
+    rte, rre = pose_diff_np(P_est, np.asarray(P, np.float64))
+    assert rre < 5.0, f"rre={rre}"
+
+
+def test_initial_guess_points_at_insiders(rng):
+    yaw = 1.2
+    pc, labels, _ = _make_problem(rng, yaw, np.zeros(3, np.float32))
+    ang, valid = initial_guess(jnp.asarray(pc), jnp.asarray(labels))
+    assert 0.0 < float(np.mean(np.asarray(valid))) <= 1.0
+    # rotating by the guess should place insiders in front (positive z)
+    a = float(ang)
+    c, s = np.cos(a), np.sin(a)
+    rot_z = -s * pc[:, 0] + c * pc[:, 2]
+    assert np.mean(rot_z[labels == 1] > 0) > 0.9
+
+
+def test_solve_frustum_batch_end_to_end(rng):
+    """Full multi-init harness recovers yaw-only poses: success by the
+    reference criterion RTE<2m, RRE<5deg on clean labels."""
+    B = 3
+    pcs, labs, Ps = [], [], []
+    for b in range(B):
+        yaw = rng.uniform(-np.pi, np.pi)
+        t = np.array([rng.uniform(-2, 2), 0.0, rng.uniform(-2, 2)], np.float32)
+        pc, labels, P = _make_problem(rng, yaw, t)
+        pcs.append(pc); labs.append(labels); Ps.append(P)
+    pc = jnp.asarray(np.stack(pcs))
+    labels = jnp.asarray(np.stack(labs))
+    K = jnp.asarray(np.tile(K_np, (B, 1, 1)))
+
+    P_pred, cost = solve_frustum_batch(pc, labels, K, H=H, W=W,
+                                       rng=jax.random.PRNGKey(0),
+                                       n_inits=16, max_iter=64)
+    rtes, rres = [], []
+    for b in range(B):
+        rte, rre = pose_diff_np(np.asarray(P_pred[b], np.float64),
+                                np.asarray(Ps[b], np.float64))
+        rtes.append(rte); rres.append(rre)
+    summ = registration_summary(np.asarray(rtes), np.asarray(rres))
+    assert summ["success_rate"] >= 2.0 / 3.0, (summ, rtes, rres)
+
+
+def test_solve_frustum_batch_no_insiders_fallback(rng):
+    pc = jnp.asarray(rng.normal(size=(1, 64, 3)).astype(np.float32))
+    labels = jnp.zeros((1, 64), jnp.int32)
+    K = jnp.asarray(K_np[None])
+    P_pred, cost = solve_frustum_batch(pc, labels, K, H=H, W=W,
+                                       rng=jax.random.PRNGKey(0), n_inits=4,
+                                       max_iter=8)
+    np.testing.assert_array_equal(np.asarray(P_pred[0]), np.eye(4))
+    assert float(cost[0]) == 1e4
