@@ -7,3 +7,8 @@ downsampling is re-implemented in numpy
 (:func:`deepi2p_tpu.ops.voxel_downsample_np`).
 """
 from .synthetic import synthetic_batch, SyntheticDataset
+from .base import collate, scale_K, crop_K
+from .prefetch import BatchLoader, device_prefetch
+from .oxford import OxfordLoader
+from .kitti import KittiLoader, KittiCalib
+from .nuscenes import NuScenesLoader, enu2cam

@@ -77,6 +77,12 @@ class SyntheticDataset:
     def __len__(self):
         return self.length
 
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        """A single sample (unbatched) — for BatchLoader compatibility."""
+        b = synthetic_batch(self.cfg, batch_size=1,
+                            seed=self.seed * 100003 + i)
+        return {k: v[0] for k, v in b.items()}
+
     def __iter__(self):
         for i in range(self.length):
             yield synthetic_batch(self.cfg, seed=self.seed * 100003 + i)

@@ -1,0 +1,255 @@
+"""Data pipeline tests: loaders over tiny fake dataset trees (the reference
+ships only __main__ shape walk-throughs; see SURVEY.md §4)."""
+import math
+import os
+
+import numpy as np
+import pytest
+
+from deepi2p_tpu import config
+from deepi2p_tpu.data import (OxfordLoader, KittiLoader, NuScenesLoader,
+                              BatchLoader, device_prefetch, SyntheticDataset,
+                              collate, enu2cam)
+from deepi2p_tpu.data.augmentation import (color_jitter, random_transform,
+                                           angles_to_rotation, jitter)
+from deepi2p_tpu.data.nuscenes import remove_ego_points
+
+
+CFG = config.tiny().replace(input_pt_num=256, node_a_num=16, node_b_num=16)
+
+
+def _check_sample(s, cfg):
+    assert s["pc"].shape == (cfg.input_pt_num, 3)
+    assert s["intensity"].shape == (cfg.input_pt_num, 1)
+    assert s["sn"].shape == (cfg.input_pt_num, 3)
+    assert s["node_a"].shape == (cfg.node_a_num, 3)
+    assert s["node_b"].shape == (cfg.node_b_num, 3)
+    assert s["P"].shape == (3, 4)
+    assert s["img"].shape == (cfg.img_H, cfg.img_W, 3)
+    assert s["K"].shape == (3, 3)
+    for v in s.values():
+        assert np.all(np.isfinite(v))
+        assert v.dtype == np.float32
+
+
+# --------------------------------------------------------------------------
+# augmentation
+# --------------------------------------------------------------------------
+
+def test_color_jitter_ranges(rng):
+    img = rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+    out = color_jitter(img, rng)
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_random_transform_rotation_valid(rng):
+    P = random_transform(rng, (1, 2, 3), (0.1, math.pi, 0.1))
+    R = P[:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
+
+
+def test_angles_to_rotation_matches_scipy(rng):
+    from scipy.spatial.transform import Rotation
+    ang = rng.uniform(-1, 1, 3)
+    got = angles_to_rotation(ang)
+    want = Rotation.from_euler("xyz", ang).as_matrix()  # Rz@Ry@Rx == extrinsic xyz
+    np.testing.assert_allclose(got, want, atol=1e-8)
+
+
+# --------------------------------------------------------------------------
+# oxford
+# --------------------------------------------------------------------------
+
+@pytest.fixture
+def oxford_root(tmp_path, rng):
+    import cv2
+    root = tmp_path / "oxford"
+    trav = root / "trav0"
+    (trav / "lms_front").mkdir(parents=True)
+    (trav / "stereo" / "centre").mkdir(parents=True)
+    (root / "train.txt").write_text("trav0\n")
+    (root / "val.txt").write_text("trav0\n")
+
+    n_pc, n_cam = 6, 24
+    pc_ts = np.arange(n_pc) * 1000 + 100
+    cam_ts = np.arange(n_cam) * 250 + 50
+    np.save(trav / "pc_timestamps.npy", pc_ts)
+    np.save(trav / "camera_timestamps.npy", cam_ts)
+
+    def poses(ts):
+        out = np.tile(np.eye(4, dtype=np.float32), (len(ts), 1, 1))
+        out[:, 0, 3] = np.asarray(ts) * 1e-3  # slow drift along x
+        return out
+    np.save(trav / "pc_poses.npy", poses(pc_ts))
+    np.save(trav / "camera_poses.npy", poses(cam_ts))
+
+    for ts in pc_ts:
+        pts = rng.normal(scale=10, size=(4, 500)).astype(np.float32)
+        np.save(trav / "lms_front" / f"{ts}.npy", pts)
+    img = rng.integers(0, 255, (300, 400, 3), dtype=np.uint8)
+    for ts in cam_ts:
+        cv2.imwrite(str(trav / "stereo" / "centre" / f"{ts}.jpg"), img)
+    return str(root)
+
+
+def test_oxford_loader_modes(oxford_root):
+    for mode in ("train", "val", "val_random_Ry"):
+        ld = OxfordLoader(oxford_root, mode, CFG, seed=0)
+        assert len(ld) == 6
+        _check_sample(ld[0], CFG)
+
+
+# --------------------------------------------------------------------------
+# kitti
+# --------------------------------------------------------------------------
+
+@pytest.fixture
+def kitti_root(tmp_path, rng):
+    root = tmp_path / "kitti"
+    n = 86  # SKIP=40 on both ends -> 6 usable frames
+    seq = "09"  # val sequence so the loader finds it in 'val' mode
+    (root / "calib" / seq).mkdir(parents=True)
+    K = [200.0, 0.0, 100.0, 0.0,
+         0.0, 200.0, 60.0, 0.0,
+         0.0, 0.0, 1.0, 0.0]
+    tr = [0.0, -1.0, 0.0, 0.0,
+          0.0, 0.0, -1.0, 0.0,
+          1.0, 0.0, 0.0, 0.0]  # NWU -> cam-ish extrinsic
+    lines = []
+    for key in ("P0", "P1", "P2", "P3"):
+        lines.append(key + ": " + " ".join(str(v) for v in K))
+    lines.append("Tr: " + " ".join(str(v) for v in tr))
+    (root / "calib" / seq / "calib.txt").write_text("\n".join(lines) + "\n")
+
+    pcdir = root / "data_odometry_velodyne_NWU" / "sequences" / seq / "voxel0.1-SNr0.6"
+    img2 = root / "data_odometry_color_npy" / "sequences" / seq / "image_2"
+    img3 = root / "data_odometry_color_npy" / "sequences" / seq / "image_3"
+    posedir = root / "poses" / seq
+    for d in (pcdir, img2, img3, posedir):
+        d.mkdir(parents=True)
+    img = rng.integers(0, 255, (200, 300, 3)).astype(np.float32)
+    for i in range(n):
+        # NWU: x forward — keep points in front of the camera
+        pts = np.concatenate([
+            rng.uniform(2, 30, (1, 400)),
+            rng.uniform(-10, 10, (2, 400)),
+            rng.uniform(0, 1, (1, 400)),
+            rng.normal(size=(3, 400)),
+        ]).astype(np.float32)
+        np.save(pcdir / f"{i:06d}.npy", pts)
+        np.save(img2 / f"{i:06d}.npy", img)
+        np.save(img3 / f"{i:06d}.npy", img)
+        pose = np.eye(4, dtype=np.float32)
+        pose[0, 3] = 0.05 * i
+        np.savez(posedir / f"{i:06d}.npz", pose=pose)
+    return str(root)
+
+
+def test_kitti_loader_val_and_train(kitti_root):
+    cfg = CFG.replace(accumulation_frame_num=1, accumulation_frame_skip=2,
+                      delta_ij_max=5)
+    ld = KittiLoader(kitti_root, "val", cfg, seed=0)
+    assert len(ld) == 12  # 6 frames x 2 cameras
+    s = ld[0]
+    _check_sample(s, cfg)
+    # geometric sanity: with identity-ish poses some points project inside
+    pc_h = np.concatenate([s["pc"], np.ones((cfg.input_pt_num, 1))], axis=1)
+    cam = (s["P"] @ pc_h.T)
+    px = s["K"] @ cam
+    px = px[:2] / px[2:]
+    inside = ((px[0] >= 0) & (px[0] <= cfg.img_W - 1) &
+              (px[1] >= 0) & (px[1] <= cfg.img_H - 1) & (cam[2] > 0.1))
+    assert inside.sum() > 0
+
+    ld_t = KittiLoader(kitti_root, "val", cfg, seed=1)
+    ld_t.mode = "train"
+    _check_sample(ld_t[0], cfg)
+
+
+# --------------------------------------------------------------------------
+# nuscenes (fake backend)
+# --------------------------------------------------------------------------
+
+class FakeNuScenes:
+    def __init__(self, rng, n_frames=9):
+        self.rng = rng
+        self.chain = [f"ld{i}" for i in range(n_frames)]
+
+    def lidar_points(self, token):
+        r = np.random.default_rng(hash(token) % 2**31)
+        pc = r.normal(scale=15, size=(600, 3)).astype(np.float32)
+        inten = r.uniform(0, 1, (600, 1)).astype(np.float32)
+        return pc, inten
+
+    def ego_pose(self, token):
+        i = int(token[2:]) if token.startswith("ld") else 0
+        P = np.eye(4, dtype=np.float32)
+        P[0, 3] = 0.5 * i
+        return P
+
+    def calibration(self, token):
+        return np.eye(4, dtype=np.float32)
+
+    def camera_K(self, token):
+        return np.array([[400.0, 0, 200], [0, 400, 120], [0, 0, 1]],
+                        np.float32)
+
+    def camera_image(self, token):
+        return self.rng.integers(0, 255, (300, 400, 3)).astype(np.uint8)
+
+    def neighbor(self, token, direction):
+        i = int(token[2:])
+        j = i + (1 if direction == "next" else -1)
+        return f"ld{j}" if 0 <= j < len(self.chain) else ""
+
+
+def test_nuscenes_loader_with_fake_backend(rng):
+    cfg = CFG.replace(accumulation_frame_num=2, accumulation_frame_skip=2,
+                      crop_original_top_rows=20)
+    backend = FakeNuScenes(rng)
+    dataset = [("ld4", {name: ["cam0", "cam1"]
+                        for name in ["CAM_FRONT", "CAM_FRONT_LEFT",
+                                     "CAM_FRONT_RIGHT", "CAM_BACK",
+                                     "CAM_BACK_LEFT", "CAM_BACK_RIGHT"]})]
+    ld = NuScenesLoader("/nonexistent", "train", cfg, backend=backend,
+                        dataset=dataset, seed=0)
+    _check_sample(ld[0], cfg)
+
+
+def test_remove_ego_points():
+    pc = np.array([[0.0, 0.0, 0.0], [0.5, 1.0, 2.0], [5.0, 0.0, 0.0]],
+                  np.float32)
+    inten = np.zeros((3, 1), np.float32)
+    out, _ = remove_ego_points(pc, inten)
+    assert out.shape[0] == 1 and out[0, 0] == 5.0
+
+
+def test_enu2cam_roundtrip(rng):
+    pc = rng.normal(size=(10, 3)).astype(np.float32)
+    P = np.eye(4, dtype=np.float32)
+    pc2, P2 = enu2cam(pc, P)
+    # y_cam = -z_enu, z_cam = y_enu
+    np.testing.assert_allclose(pc2[:, 1], -pc[:, 2], atol=1e-6)
+    np.testing.assert_allclose(pc2[:, 2], pc[:, 1], atol=1e-6)
+    # P2 undoes the conversion: P2 @ convert == P
+    for i in range(10):
+        h = np.concatenate([pc2[i], [1.0]])
+        np.testing.assert_allclose((P2 @ h)[:3],
+                                   (P @ np.concatenate([pc[i], [1.0]]))[:3],
+                                   atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# batching / prefetch
+# --------------------------------------------------------------------------
+
+def test_batch_loader_and_prefetch():
+    cfg = CFG
+    ds = SyntheticDataset(cfg, length=10, seed=0)
+    bl = BatchLoader(ds, batch_size=4, num_workers=2, seed=0)
+    assert len(bl) == 2
+    batches = list(device_prefetch(iter(bl), size=2))
+    assert len(batches) == 2
+    for b in batches:
+        assert b["pc"].shape == (4, cfg.input_pt_num, 3)
