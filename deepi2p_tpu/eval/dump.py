@@ -1,0 +1,107 @@
+"""Inference dump in the reference's npy contract.
+
+Reproduces ``evaluation/visualize_and_save_data.py:94-186``: for each
+evaluation sample, run the classifier, recompute the GT labels, and save
+
+    {prefix}_pc_label.npy   — (7, N): xyz, coarse_pred, coarse_label,
+                                       fine_pred, fine_label
+    {prefix}_K.npy          — (3, 3)
+    {prefix}_P.npy          — (3, 4) ground-truth pose
+
+This triplet is the handoff format consumed by every registration solver
+(``evaluation/registration_lsq.py:291-298``), so dumps produced by the
+reference network can drive the TPU solvers directly and vice versa.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import Config
+from ..ops.projection import generate_labels
+
+
+def save_sample_dump(out_dir: str, prefix: str, *, pc: np.ndarray,
+                     coarse_pred: np.ndarray, coarse_label: np.ndarray,
+                     fine_pred: np.ndarray, fine_label: np.ndarray,
+                     K: np.ndarray, P: np.ndarray):
+    """pc is (N, 3); stored transposed to match the (7, N) contract."""
+    data = np.concatenate([
+        pc.T.astype(np.float32),
+        coarse_pred[None].astype(np.float32),
+        coarse_label[None].astype(np.float32),
+        fine_pred[None].astype(np.float32),
+        fine_label[None].astype(np.float32),
+    ], axis=0)
+    np.save(os.path.join(out_dir, prefix + "_pc_label.npy"), data)
+    np.save(os.path.join(out_dir, prefix + "_K.npy"), K.astype(np.float32))
+    np.save(os.path.join(out_dir, prefix + "_P.npy"), P.astype(np.float32))
+
+
+def load_dump(data_dir: str, prefix: str):
+    """-> dict(pc (N,3), coarse_pred, coarse_label, fine_pred, fine_label,
+    K (3,3), P (4,4))."""
+    d = np.load(os.path.join(data_dir, prefix + "_pc_label.npy"))
+    K = np.load(os.path.join(data_dir, prefix + "_K.npy"))
+    P = np.load(os.path.join(data_dir, prefix + "_P.npy"))
+    if P.shape[0] == 3:
+        P = np.concatenate([P, np.eye(4)[3:4]], axis=0)
+    return dict(pc=d[0:3].T, coarse_pred=d[3].astype(np.int32),
+                coarse_label=d[4].astype(np.int32),
+                fine_pred=d[5].astype(np.int32),
+                fine_label=d[6].astype(np.int32),
+                K=K.astype(np.float64), P=P.astype(np.float64))
+
+
+def list_dump_prefixes(data_dir: str):
+    names = {f[:9] for f in os.listdir(data_dir)
+             if os.path.isfile(os.path.join(data_dir, f))}
+    return sorted(names)
+
+
+def dump_predictions(engine, state, batches: Iterator[Dict], cfg: Config,
+                     out_dir: str, *, max_batches: Optional[int] = None):
+    """Run inference over ``batches`` and write per-sample dumps.
+
+    Returns (coarse_accuracy, fine_accuracy) over the dumped set
+    (``visualize_and_save_data.py:141-148,216-217``).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    n_total = n_coarse_ok = 0
+    n_inside = n_fine_ok = 0
+    idx = 0
+    for bi, batch in enumerate(batches):
+        if max_batches is not None and bi >= max_batches:
+            break
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        coarse_pred, fine_pred = engine.infer(state, jbatch)
+        labels = generate_labels(jbatch["pc"], jbatch["P"], jbatch["K"],
+                                 cfg.img_H, cfg.img_W,
+                                 cfg.img_fine_resolution_scale)
+        coarse_pred = np.asarray(coarse_pred)
+        fine_pred = np.asarray(fine_pred)
+        coarse_lab = np.asarray(labels.coarse)
+        fine_lab = np.asarray(labels.fine)
+        B, N = coarse_pred.shape
+        n_total += B * N
+        n_coarse_ok += int((coarse_pred == coarse_lab).sum())
+        inside = coarse_lab == 1
+        n_inside += int(inside.sum())
+        n_fine_ok += int(((fine_pred == fine_lab) & inside).sum())
+        for b in range(B):
+            prefix = f"{idx:06d}_00"
+            save_sample_dump(out_dir, prefix,
+                             pc=np.asarray(batch["pc"][b]),
+                             coarse_pred=coarse_pred[b],
+                             coarse_label=coarse_lab[b],
+                             fine_pred=fine_pred[b],
+                             fine_label=fine_lab[b],
+                             K=np.asarray(batch["K"][b]),
+                             P=np.asarray(batch["P"][b]))
+            idx += 1
+    coarse_acc = n_coarse_ok / max(n_total, 1)
+    fine_acc = n_fine_ok / max(n_inside, 1)
+    return coarse_acc, fine_acc

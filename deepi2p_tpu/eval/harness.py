@@ -1,0 +1,107 @@
+"""Registration evaluation harness.
+
+The batched equivalent of the reference's per-file solver scripts
+(``evaluation/registration_lsq.py:251-401``,
+``evaluation/registration_pnp.py:151-259``,
+``evaluation/registration_random.py``) and the result analysis
+(``evaluation/registration_result_analysis.py``): given dumped predictions,
+run a solver over all pairs at once, compute RTE/RRE and the
+RTE<2m & RRE<5deg success rate, and save ``P_pred_all_np.npy`` /
+``P_gt_all_np.npy`` / ``cost_all_np.npy`` like the reference.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..register.frustum import solve_frustum_batch
+from ..register.pnp import solve_pnp_batch
+from ..register.metrics import pose_diff_np, registration_summary
+from .dump import load_dump, list_dump_prefixes
+
+
+def random_pose_baseline(n: int, rng: np.random.Generator, *,
+                         is_2d: bool = True):
+    """Random pose draws (``evaluation/registration_random.py:117-128``)."""
+    out = np.tile(np.eye(4), (n, 1, 1))
+    for i in range(n):
+        ry = rng.uniform(-np.pi, np.pi)
+        c, s = np.cos(ry), np.sin(ry)
+        out[i, :3, :3] = [[c, 0, s], [0, 1, 0], [-s, 0, c]]
+        out[i, 0, 3] = rng.uniform(-5, 5)
+        out[i, 2, 3] = rng.uniform(-10, 10)
+        if not is_2d:
+            out[i, 1, 3] = rng.uniform(-1, 1)
+    return out
+
+
+def evaluate_registration(data_dir: str, *, method: str = "frustum",
+                          H: int, W: int, stride: int = 1,
+                          use_labels: bool = False,
+                          batch_size: int = 16, n_inits: int = 60,
+                          max_iter: int = 32, seed: int = 0,
+                          save_dir: Optional[str] = None) -> Dict[str, float]:
+    """Run a solver over a dump directory and summarise RTE/RRE/success.
+
+    Args:
+      method: 'frustum' | 'pnp' | 'random'.
+      stride: evaluate every ``stride``-th pair (the reference uses 30 for
+        the frustum solver, 1 for PnP; ``registration_lsq.py:284``).
+      use_labels: solve from GT labels instead of predictions (the
+        reference's solver oracle mode, ``test_frustum_solver.py``).
+    """
+    prefixes = list_dump_prefixes(data_dir)[::stride]
+    dumps = [load_dump(data_dir, p) for p in prefixes]
+    W_fine = int(round(W / 32))
+
+    P_pred_all = np.zeros((len(dumps), 4, 4))
+    P_gt_all = np.zeros((len(dumps), 4, 4))
+    cost_all = np.zeros(len(dumps))
+
+    rng_np = np.random.default_rng(seed)
+    if method == "random":
+        P_pred_all = random_pose_baseline(len(dumps), rng_np)
+        for i, d in enumerate(dumps):
+            P_gt_all[i] = d["P"]
+    else:
+        key = jax.random.PRNGKey(seed)
+        for start in range(0, len(dumps), batch_size):
+            chunk = dumps[start:start + batch_size]
+            pc = jnp.asarray(np.stack([d["pc"] for d in chunk]), jnp.float32)
+            field = "coarse_label" if use_labels else "coarse_pred"
+            coarse = jnp.asarray(np.stack([d[field] for d in chunk]))
+            K = jnp.asarray(np.stack([d["K"] for d in chunk]), jnp.float32)
+            key, sub = jax.random.split(key)
+            if method == "frustum":
+                P, cost = solve_frustum_batch(pc, coarse, K, H=H, W=W,
+                                              rng=sub, n_inits=n_inits,
+                                              max_iter=max_iter)
+            elif method == "pnp":
+                ffield = "fine_label" if use_labels else "fine_pred"
+                fine = jnp.asarray(np.stack([d[ffield] for d in chunk]))
+                res = solve_pnp_batch(pc, coarse, fine, K, sub,
+                                      W_fine=W_fine)
+                P, cost = res.P, res.cost
+            else:
+                raise ValueError(method)
+            P_pred_all[start:start + len(chunk)] = np.asarray(P)
+            cost_all[start:start + len(chunk)] = np.asarray(cost)
+            for i, d in enumerate(chunk):
+                P_gt_all[start + i] = d["P"]
+
+    rte = np.zeros(len(dumps))
+    rre = np.zeros(len(dumps))
+    for i in range(len(dumps)):
+        rte[i], rre[i] = pose_diff_np(P_pred_all[i], P_gt_all[i])
+
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
+        np.save(os.path.join(save_dir, "P_pred_all_np.npy"), P_pred_all)
+        np.save(os.path.join(save_dir, "P_gt_all_np.npy"), P_gt_all)
+        np.save(os.path.join(save_dir, "cost_all_np.npy"), cost_all)
+
+    return registration_summary(rte, rre)

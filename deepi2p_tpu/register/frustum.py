@@ -7,6 +7,13 @@ multiprocessing fan-out that drives it
 initialisations for all image-pointcloud pairs are solved simultaneously by
 a ``vmap``-ed fixed-iteration LM loop on-chip.
 
+Performance notes (v5e): the residual/Jacobian computation is laid out with
+the POINT axis trailing, so every array is (..., N) and maps onto the
+8x128 VPU lanes; the primal residual rides along with the ``jacfwd``
+tangents (one fused pass), and the accepted proposal's residuals are
+carried into the next iteration instead of being recomputed.  The normal
+equations are tiny (P<=6) einsums.
+
 Cost parity with the reference (2D mode, params ``[ry, tx, ty, tz]``;
 3D mode, params ``[rx, ry, rz, tx, ty, tz]``):
 
@@ -70,43 +77,49 @@ def theta_to_pose(theta: jax.Array, is_2d: bool) -> jax.Array:
 
 
 # --------------------------------------------------------------------------
-# residuals / cost
+# residuals / cost  (points stored transposed: (3, N) — lane axis last)
 # --------------------------------------------------------------------------
 
-def _residuals(theta, pts, labels, valid, K, H, W, is_2d: bool):
-    """Blockwise residuals (N, 3).  labels/valid are float (N,)."""
+def _residuals_t(theta, pts_t, labels, valid, K, H, W, is_2d: bool):
+    """Blockwise residuals, shape (3, N).  pts_t is (3, N);
+    labels/valid are (N,) float."""
     aa, t = _unpack(theta, is_2d)
     R = rodrigues(aa)
-    p = pts @ R.T + t                                   # (N, 3)
+    p = R @ pts_t + t[:, None]                          # (3, N)
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
-    z = p[:, 2]
-    px = fx * p[:, 0] / z + cx
-    py = fy * p[:, 1] / z + cy
+    z = p[2]
+    px = fx * p[0] / z + cx
+    py = fy * p[1] / z + cy
     H1, W1 = H - 1.0, W - 1.0
 
     # inside-labelled: pulled toward the frame, z pushed positive
-    r_in = jnp.stack([
-        jnp.maximum(-px, 0.0) + jnp.maximum(px - W1, 0.0),
-        jnp.maximum(-py, 0.0) + jnp.maximum(py - H1, 0.0),
-        jnp.maximum(-z, 0.0) * 100.0,
-    ], axis=-1)                                          # (N, 3)
+    r_in0 = jnp.maximum(-px, 0.0) + jnp.maximum(px - W1, 0.0)
+    r_in1 = jnp.maximum(-py, 0.0) + jnp.maximum(py - H1, 0.0)
+    r_in2 = jnp.maximum(-z, 0.0) * 100.0
 
     # outside-labelled: penalised only when wrongly projecting inside
     xd = W1 * 0.5 - jnp.abs(px - W1 * 0.5)
     yd = H1 * 0.5 - jnp.abs(py - H1 * 0.5)
     gate = ((z > 0) & (xd > 0) & (yd > 0)).astype(p.dtype)
-    r_out = jnp.stack([(xd + yd) * gate,
-                       jnp.zeros_like(xd), jnp.zeros_like(xd)], axis=-1)
+    r_out0 = (xd + yd) * gate
 
-    r = jnp.where(labels[:, None] > 0.5, r_in, r_out)
-    return r * valid[:, None]
+    is_in = labels > 0.5
+    r0 = jnp.where(is_in, r_in0, r_out0)
+    r1 = jnp.where(is_in, r_in1, 0.0)
+    r2 = jnp.where(is_in, r_in2, 0.0)
+    return jnp.stack([r0, r1, r2]) * valid[None, :]     # (3, N)
+
+
+def _block_cost(r, valid):
+    """0.5 * sum log(1 + |r_block|^2) over valid blocks; r is (3, N)."""
+    s = jnp.sum(r ** 2, axis=0)
+    return 0.5 * jnp.sum(jnp.log1p(s) * valid)
 
 
 def frustum_cost(theta, pts, labels, valid, K, H, W, is_2d: bool = True):
-    """Robustified total cost: ``0.5 * sum log(1 + |r_block|^2)``."""
-    r = _residuals(theta, pts, labels, valid, K, H, W, is_2d)
-    s = jnp.sum(r ** 2, axis=-1)
-    return 0.5 * jnp.sum(jnp.log1p(s) * valid)
+    """Robustified total cost for points in (N, 3) layout (public API)."""
+    r = _residuals_t(theta, pts.T, labels, valid, K, H, W, is_2d)
+    return _block_cost(r, valid)
 
 
 # --------------------------------------------------------------------------
@@ -121,7 +134,7 @@ class LMResult(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "max_iter", "is_2d"))
 def lm_solve(pts, labels, valid, K, theta0, t_lb, t_ub, *,
-             H: int, W: int, max_iter: int = 64,
+             H: int, W: int, max_iter: int = 32,
              is_2d: bool = True) -> LMResult:
     """Single-problem LM; ``vmap`` over initialisations x pairs for batches.
 
@@ -131,40 +144,44 @@ def lm_solve(pts, labels, valid, K, theta0, t_lb, t_ub, *,
     """
     P = theta0.shape[0]
     t_off = 1 if is_2d else 3
+    pts_t = pts.T                                       # (3, N)
 
     def clip_t(theta):
         t = jnp.clip(theta[t_off:t_off + 3], t_lb, t_ub)
         return theta.at[t_off:t_off + 3].set(t)
 
-    res_fn = lambda th: _residuals(th, pts, labels, valid, K, H, W, is_2d)
-    cost_fn = lambda th: frustum_cost(th, pts, labels, valid, K, H, W, is_2d)
+    def res_fn(theta):
+        r = _residuals_t(theta, pts_t, labels, valid, K, H, W, is_2d)
+        return r, r
 
     def step(state, _):
-        theta, lam, cost, n_acc = state
-        r = res_fn(theta)                                # (N, 3)
-        J = jax.jacfwd(res_fn)(theta)                    # (N, 3, P)
-        s = jnp.sum(r ** 2, axis=-1)                     # (N,)
-        w = 1.0 / (1.0 + s)                              # Cauchy rho'(s)
-        # normal equations (MXU batched matmuls under vmap)
-        Jw = J * w[:, None, None]
-        Hmat = jnp.einsum("nrp,nrq->pq", Jw, J,
+        theta, lam, cost, r, n_acc = state
+        # one fused pass: primal residual (aux) + 4/6 forward tangents
+        J, _ = jax.jacfwd(res_fn, has_aux=True)(theta)  # (3, N, P)
+        s = jnp.sum(r ** 2, axis=0)                     # (N,)
+        w = valid / (1.0 + s)                           # Cauchy rho'(s)
+        Hmat = jnp.einsum("rnp,rnq,n->pq", J, J, w,
                           preferred_element_type=jnp.float32)
-        g = jnp.einsum("nrp,nr->p", Jw, r,
+        g = jnp.einsum("rnp,rn,n->p", J, r, w,
                        preferred_element_type=jnp.float32)
         damp = lam * jnp.diag(jnp.diagonal(Hmat)) + 1e-9 * jnp.eye(P)
         delta = -jnp.linalg.solve(Hmat + damp, g)
         theta_new = clip_t(theta + delta)
-        new_cost = cost_fn(theta_new)
+        r_new = _residuals_t(theta_new, pts_t, labels, valid, K, H, W, is_2d)
+        new_cost = _block_cost(r_new, valid)
         accept = new_cost < cost
         theta = jnp.where(accept, theta_new, theta)
         cost = jnp.where(accept, new_cost, cost)
+        r = jnp.where(accept, r_new, r)
         lam = jnp.clip(jnp.where(accept, lam / 3.0, lam * 3.0), 1e-9, 1e9)
-        return (theta, lam, cost, n_acc + accept.astype(jnp.int32)), None
+        return (theta, lam, cost, r, n_acc + accept.astype(jnp.int32)), None
 
     theta0 = clip_t(theta0)
-    init = (theta0, jnp.asarray(1e-3), cost_fn(theta0), jnp.zeros((), jnp.int32))
-    (theta, _, cost, n_acc), _ = jax.lax.scan(step, init, None,
-                                              length=max_iter)
+    r0 = _residuals_t(theta0, pts_t, labels, valid, K, H, W, is_2d)
+    init = (theta0, jnp.asarray(1e-3), _block_cost(r0, valid), r0,
+            jnp.zeros((), jnp.int32))
+    (theta, _, cost, _, n_acc), _ = jax.lax.scan(step, init, None,
+                                                 length=max_iter)
     return LMResult(theta=theta, cost=cost, n_accepted=n_acc)
 
 
@@ -196,17 +213,21 @@ def initial_guess(pc, pred_inside):
 
 
 def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng,
-                        n_inits: int = 60, max_iter: int = 64,
+                        n_inits: int = 60, max_iter: int = 32,
                         init_t_amplitude: float = 10.0,
                         ry_sigma: float = 10.0 * jnp.pi / 180.0,
                         t_lb=(-5.0, -0.1, -10.0), t_ub=(5.0, 0.1, 10.0),
-                        is_2d: bool = True):
+                        is_2d: bool = True, solver_stride: int = 1):
     """Full multi-init solve for a batch of pairs.
 
     Mirrors ``solve_P_random_perturb`` (``registration_lsq.py:142-186``):
     per init ``ry ~ N(init_y_angle, ry_sigma)``, ``t = [0, 0, U(-a, a)]``;
     the min-cost init wins.  Pairs with zero predicted insiders fall back to
     identity with cost 1e4 (``registration_lsq.py:329-332``).
+
+    ``solver_stride`` optionally subsamples the points fed to the LM
+    iterations (the cost is a sum over points, so a uniform stride leaves
+    the minimiser statistically unchanged while dividing the work).
 
     Args:
       pc (B,N,3), pred_inside (B,N) int, K (B,3,3).
@@ -229,6 +250,10 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng,
     else:
         theta0 = jnp.stack([zeros, ry, zeros, zeros, zeros, tz], axis=-1)
 
+    pc_s = pc[:, ::solver_stride]
+    labels_s = pred_inside.astype(pc.dtype)[:, ::solver_stride]
+    valid_s = valid[:, ::solver_stride]
+
     solve_one = functools.partial(lm_solve, H=H, W=W, max_iter=max_iter,
                                   is_2d=is_2d)
     # vmap over inits, then over pairs
@@ -236,7 +261,7 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng,
                      solve_one(p, l, v, k, th, t_lb, t_ub),
                      in_axes=(0, None, None, None, None))
     outer = jax.vmap(inner, in_axes=(0, 0, 0, 0, 0))
-    res = outer(theta0, pc, pred_inside.astype(pc.dtype), valid, K)
+    res = outer(theta0, pc_s, labels_s, valid_s, K)
 
     best = jnp.argmin(res.cost, axis=1)                        # (B,)
     best_theta = jnp.take_along_axis(

@@ -1,0 +1,136 @@
+"""Point-to-point ICP against a (monodepth) pseudo point cloud.
+
+Replaces the Open3D ICP harness (``evaluation/icp/registration_icp.py``):
+
+  * pseudo point cloud from a depth map: ``K^-1 @ [u,v,1] * depth``
+    (``evaluation/icp/save_depth_map.py:60-102`` — the monodepth2 network
+    itself is an external dependency there too; any depth source works);
+  * depth-scale calibration against the mean depth of GT-visible points
+    (``registration_icp.py:216-219``);
+  * 60 random (tx, tz, ry) initialisations, best fitness wins, with the
+    2D flattening of the result (``registration_icp.py:115-139``);
+  * fitness = inlier fraction at threshold 1.0 m, like Open3D's
+    ``registration_icp`` (``registration_icp.py:148-162``).
+
+TPU-native: all inits run as one ``vmap``; each ICP iteration computes
+nearest neighbours with the MXU pairwise-distance matmul (chunked over the
+source axis), and the closed-form point-to-point update is a weighted
+Kabsch (3x3 SVD).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.knn import pairwise_dist2
+
+
+def depth_to_pointcloud(depth: jax.Array, K: jax.Array,
+                        stride: int = 4) -> jax.Array:
+    """Depth map (H, W) + intrinsics -> (M, 3) camera-frame points."""
+    H, W = depth.shape
+    d = depth[::stride, ::stride]
+    ys, xs = jnp.meshgrid(jnp.arange(0, H, stride, dtype=jnp.float32),
+                          jnp.arange(0, W, stride, dtype=jnp.float32),
+                          indexing="ij")
+    x = (xs - K[0, 2]) / K[0, 0] * d
+    y = (ys - K[1, 2]) / K[1, 1] * d
+    return jnp.stack([x, y, d], axis=-1).reshape(-1, 3)
+
+
+def calibrate_depth_scale(pc_cam_z, inside_mask, pseudo_z):
+    """Scale factor aligning pseudo-cloud depth to the GT-visible mean
+    (``registration_icp.py:216-219``)."""
+    m = inside_mask.astype(jnp.float32)
+    mean_gt = jnp.sum(pc_cam_z * m) / jnp.maximum(jnp.sum(m), 1.0)
+    return mean_gt / jnp.maximum(jnp.mean(pseudo_z), 1e-6)
+
+
+class ICPResult(NamedTuple):
+    P: jax.Array
+    fitness: jax.Array
+
+
+def _kabsch(src, dst, w):
+    """Weighted point-to-point alignment: R, t minimising |R src + t - dst|."""
+    wsum = jnp.maximum(jnp.sum(w), 1e-6)
+    mu_s = jnp.sum(src * w[:, None], 0) / wsum
+    mu_d = jnp.sum(dst * w[:, None], 0) / wsum
+    S = ((src - mu_s) * w[:, None]).T @ (dst - mu_d)
+    U, _, Vt = jnp.linalg.svd(S)
+    det = jnp.linalg.det(Vt.T @ U.T)
+    D = jnp.diag(jnp.array([1.0, 1.0, 1.0])).at[2, 2].set(det)
+    R = Vt.T @ D @ U.T
+    t = mu_d - R @ mu_s
+    return R, t
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def icp_point_to_point(source, target, P_init, *, threshold: float = 1.0,
+                       max_iter: int = 30) -> ICPResult:
+    """Fixed-iteration point-to-point ICP aligning source onto target.
+
+    Args:
+      source (N,3): the network point cloud; target (M,3): pseudo cloud.
+    """
+    R0, t0 = P_init[:3, :3], P_init[:3, 3]
+
+    def body(state, _):
+        R, t = state
+        moved = source @ R.T + t
+        d2 = pairwise_dist2(moved[None], target[None])[0]      # (N, M)
+        nn = jnp.argmin(d2, axis=1)
+        nn_d = jnp.sqrt(jnp.take_along_axis(d2, nn[:, None], 1)[:, 0])
+        w = (nn_d < threshold).astype(jnp.float32)
+        Rn, tn = _kabsch(source, target[nn], w)
+        ok = jnp.sum(w) >= 3
+        R = jnp.where(ok, Rn, R)
+        t = jnp.where(ok, tn, t)
+        return (R, t), None
+
+    (R, t), _ = jax.lax.scan(body, (R0, t0), None, length=max_iter)
+    moved = source @ R.T + t
+    d2 = pairwise_dist2(moved[None], target[None])[0]
+    fitness = jnp.mean((jnp.min(d2, axis=1) < threshold ** 2)
+                       .astype(jnp.float32))
+    P = jnp.eye(4).at[:3, :3].set(R).at[:3, 3].set(t)
+    return ICPResult(P=P, fitness=fitness)
+
+
+def flatten_2d(P: jax.Array) -> jax.Array:
+    """Force the y-axis unknowns out of the solution
+    (``registration_icp.py:127-133``)."""
+    P = P.at[0, 1].set(0.0).at[1, 0].set(0.0).at[1, 1].set(1.0)
+    return P.at[1, 2].set(0.0).at[2, 1].set(0.0)
+
+
+def icp_random_init(source, target, rng, *, n_inits: int = 60,
+                    threshold: float = 1.0, max_iter: int = 30,
+                    t_amplitude=(5.0, 0.0, 10.0),
+                    ry_amplitude: float = jnp.pi) -> ICPResult:
+    """60 random (tx, tz, ry) inits, best fitness, 2D-flattened
+    (``registration_icp.py:115-139``)."""
+    k1, k2 = jax.random.split(rng)
+    ry = jax.random.uniform(k1, (n_inits,), minval=-ry_amplitude,
+                            maxval=ry_amplitude) * 2.0
+    t = jax.random.uniform(k2, (n_inits, 3), minval=-1.0, maxval=1.0) \
+        * jnp.asarray(t_amplitude)
+
+    def make_P(ry, t):
+        c, s = jnp.cos(ry), jnp.sin(ry)
+        R = jnp.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
+        return jnp.eye(4).at[:3, :3].set(R).at[:3, 3].set(t)
+
+    P_inits = jax.vmap(make_P)(ry, t)
+    res = jax.vmap(lambda P0: icp_point_to_point(
+        source, target, P0, threshold=threshold, max_iter=max_iter))(P_inits)
+    best = jnp.argmax(res.fitness)
+    P_best = flatten_2d(res.P[best])
+    fit = res.fitness[best]
+    ok = fit > 0.001
+    P_best = jnp.where(ok, P_best, jnp.eye(4))
+    return ICPResult(P=P_best, fitness=fit)

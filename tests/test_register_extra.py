@@ -1,0 +1,182 @@
+"""PnP / ICP solver tests + dump/harness round trips."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepi2p_tpu.register.pnp import (solve_pnp, solve_pnp_batch,
+                                      fine_label_to_cell, solve_pnp_cv2,
+                                      _rotmat_to_aa)
+from deepi2p_tpu.register.icp import (icp_point_to_point, icp_random_init,
+                                      depth_to_pointcloud,
+                                      calibrate_depth_scale, flatten_2d)
+from deepi2p_tpu.register.frustum import rodrigues
+from deepi2p_tpu.register.metrics import pose_diff_np
+from deepi2p_tpu.ops.projection import project_points, coarse_labels, fine_labels
+
+H, W = 160, 512
+SCALE = 32
+W_FINE = W // SCALE
+K_np = np.array([[300.0, 0, W / 2], [0, 300.0, H / 2], [0, 0, 1]], np.float32)
+
+
+def _pnp_problem(rng, yaw=0.4, t=(0.5, 0.0, 1.5), n=512):
+    theta = rng.uniform(-0.5, 0.5, n)
+    r = rng.uniform(5, 40, n)
+    pc = np.stack([r * np.sin(theta), rng.uniform(-2, 2, n),
+                   r * np.cos(theta)], axis=-1).astype(np.float32)
+    c, s = np.cos(yaw), np.sin(yaw)
+    P = np.eye(4, dtype=np.float32)
+    P[:3, :3] = [[c, 0, s], [0, 1, 0], [-s, 0, c]]
+    P[:3, 3] = t
+    pxpy, z = project_points(jnp.asarray(pc[None]), jnp.asarray(P[None, :3]),
+                             jnp.asarray(K_np[None]))
+    coarse = np.asarray(coarse_labels(pxpy, z, H, W))[0]
+    fine = np.asarray(fine_labels(pxpy, SCALE, W_FINE))[0]
+    fine = np.clip(fine, 0, W_FINE * (H // SCALE) - 1)
+    return pc, coarse, fine, P
+
+
+def test_rotmat_to_aa_roundtrip(rng):
+    for _ in range(5):
+        aa = rng.normal(size=3).astype(np.float32) * 0.8
+        R = rodrigues(jnp.asarray(aa))
+        got = np.asarray(_rotmat_to_aa(R))
+        np.testing.assert_allclose(got, aa, atol=1e-4)
+
+
+def test_fine_label_to_cell():
+    lab = jnp.asarray([0, 1, W_FINE, W_FINE + 2])
+    cell = np.asarray(fine_label_to_cell(lab, W_FINE))
+    np.testing.assert_array_equal(cell, [[0, 0], [1, 0], [0, 1], [2, 1]])
+
+
+def test_pnp_recovers_pose(rng):
+    pc, coarse, fine, P_gt = _pnp_problem(rng)
+    assert coarse.sum() > 50
+    res = solve_pnp(jnp.asarray(pc), jnp.asarray(coarse), jnp.asarray(fine),
+                    jnp.asarray(K_np), jax.random.PRNGKey(0),
+                    W_fine=W_FINE, n_hypotheses=128)
+    rte, rre = pose_diff_np(np.asarray(res.P, np.float64),
+                            P_gt.astype(np.float64))
+    # cell-quantised pixels (1/32 res) bound achievable accuracy
+    assert rte < 2.0 and rre < 5.0, (rte, rre, float(res.cost))
+    assert float(res.n_inliers) > 10
+
+
+def test_pnp_matches_cv2_quality(rng):
+    pc, coarse, fine, P_gt = _pnp_problem(rng, yaw=-0.8, t=(1.0, 0.2, 2.0))
+    P_cv, cost_cv = solve_pnp_cv2(pc.astype(np.float64), coarse, fine,
+                                  K_np.astype(np.float64), W_FINE)
+    res = solve_pnp(jnp.asarray(pc), jnp.asarray(coarse), jnp.asarray(fine),
+                    jnp.asarray(K_np), jax.random.PRNGKey(1),
+                    W_fine=W_FINE, n_hypotheses=256)
+    rte_cv, rre_cv = pose_diff_np(P_cv, P_gt.astype(np.float64))
+    rte_j, rre_j = pose_diff_np(np.asarray(res.P, np.float64),
+                                P_gt.astype(np.float64))
+    # TPU solver within the same quality class as the OpenCV oracle
+    assert rte_j < max(2.0, 2.0 * rte_cv + 0.5)
+    assert rre_j < max(5.0, 2.0 * rre_cv + 0.5)
+
+
+def test_pnp_too_few_points_identity(rng):
+    pc = rng.normal(size=(32, 3)).astype(np.float32)
+    coarse = np.zeros(32, np.int32)
+    coarse[:2] = 1
+    res = solve_pnp(jnp.asarray(pc), jnp.asarray(coarse),
+                    jnp.zeros(32, jnp.int32), jnp.asarray(K_np),
+                    jax.random.PRNGKey(0), W_fine=W_FINE, n_hypotheses=16)
+    np.testing.assert_array_equal(np.asarray(res.P), np.eye(4))
+    assert float(res.cost) == 1.0
+
+
+def test_pnp_batch(rng):
+    pc, coarse, fine, P_gt = _pnp_problem(rng)
+    res = solve_pnp_batch(jnp.asarray(pc[None]), jnp.asarray(coarse[None]),
+                          jnp.asarray(fine[None]), jnp.asarray(K_np[None]),
+                          jax.random.PRNGKey(0), W_fine=W_FINE,
+                          n_hypotheses=64)
+    assert res.P.shape == (1, 4, 4)
+
+
+# --------------------------------------------------------------------------
+# ICP
+# --------------------------------------------------------------------------
+
+def test_icp_aligns_rigid_transform(rng):
+    src = rng.uniform(-10, 10, (256, 3)).astype(np.float32)
+    ry = 0.3
+    c, s = np.cos(ry), np.sin(ry)
+    R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    t = np.array([1.0, 0.0, -2.0], np.float32)
+    tgt = src @ R.T + t
+    P0 = np.eye(4, dtype=np.float32)
+    P0[:3, :3] = np.array([[np.cos(0.2), 0, np.sin(0.2)], [0, 1, 0],
+                           [-np.sin(0.2), 0, np.cos(0.2)]])
+    res = icp_point_to_point(jnp.asarray(src), jnp.asarray(tgt),
+                             jnp.asarray(P0), max_iter=30)
+    P_want = np.eye(4)
+    P_want[:3, :3] = R
+    P_want[:3, 3] = t
+    np.testing.assert_allclose(np.asarray(res.P), P_want, atol=1e-2)
+    assert float(res.fitness) > 0.99
+
+
+def test_icp_random_init_and_flatten(rng):
+    src = rng.uniform(-10, 10, (128, 3)).astype(np.float32)
+    ry, t = 0.25, np.array([0.8, 0.0, -1.2], np.float32)
+    c, s = np.cos(ry), np.sin(ry)
+    R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    tgt = src @ R.T + t
+    # inits drawn near the basin: exercises the multi-init selection +
+    # 2D flattening machinery (global search luck is the reference's
+    # 60-init regime, not a unit-test property)
+    res = icp_random_init(jnp.asarray(src), jnp.asarray(tgt),
+                          jax.random.PRNGKey(0), n_inits=16, max_iter=25,
+                          t_amplitude=(1.5, 0.0, 1.5), ry_amplitude=0.25)
+    P = np.asarray(res.P)
+    assert P[1, 1] == 1.0 and P[0, 1] == 0.0 and P[1, 0] == 0.0
+    assert float(res.fitness) > 0.5
+
+
+def test_depth_to_pointcloud_and_scale(rng):
+    depth = jnp.full((16, 24), 5.0)
+    K = jnp.asarray([[10.0, 0, 12], [0, 10.0, 8], [0, 0, 1]])
+    pc = depth_to_pointcloud(depth, K, stride=2)
+    assert pc.shape == (8 * 12, 3)
+    np.testing.assert_allclose(np.asarray(pc[:, 2]), 5.0)
+    s = calibrate_depth_scale(jnp.full((10,), 8.0), jnp.ones(10),
+                              jnp.full((5,), 4.0))
+    np.testing.assert_allclose(float(s), 2.0)
+
+
+# --------------------------------------------------------------------------
+# dump + harness
+# --------------------------------------------------------------------------
+
+def test_dump_roundtrip_and_harness(tmp_path, rng):
+    from deepi2p_tpu.eval.dump import save_sample_dump, load_dump
+    from deepi2p_tpu.eval.harness import evaluate_registration
+
+    out = str(tmp_path)
+    for i in range(3):
+        pc, coarse, fine, P_gt = _pnp_problem(
+            rng, yaw=rng.uniform(-1, 1),
+            t=(rng.uniform(-2, 2), 0.0, rng.uniform(-2, 2)))
+        save_sample_dump(out, f"{i:06d}_00", pc=pc, coarse_pred=coarse,
+                         coarse_label=coarse, fine_pred=fine,
+                         fine_label=fine, K=K_np, P=P_gt[:3])
+    d = load_dump(out, "000000_00")
+    assert d["pc"].shape[1] == 3 and d["P"].shape == (4, 4)
+
+    summ = evaluate_registration(out, method="frustum", H=H, W=W,
+                                 n_inits=8, max_iter=32, batch_size=3)
+    assert summ["num_pairs"] == 3
+    assert summ["success_rate"] >= 1.0 / 3.0
+
+    summ_pnp = evaluate_registration(out, method="pnp", H=H, W=W,
+                                     batch_size=3)
+    assert summ_pnp["success_rate"] >= 2.0 / 3.0
+
+    summ_rand = evaluate_registration(out, method="random", H=H, W=W)
+    assert 0.0 <= summ_rand["success_rate"] <= 1.0
