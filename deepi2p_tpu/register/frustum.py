@@ -132,6 +132,41 @@ class LMResult(NamedTuple):
     n_accepted: jax.Array
 
 
+def _spd_solve(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve SPD ``A x = b`` for tiny static P via unrolled Cholesky.
+
+    ``jnp.linalg.solve`` lowers to a pivoted LU with sequential control flow
+    that is pathologically slow inside a vmapped TPU scan; the unrolled
+    Cholesky is ~P^3/3 fused elementwise ops.
+    """
+    P = A.shape[-1]
+    L = [[None] * P for _ in range(P)]
+    for i in range(P):
+        for j in range(i + 1):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-20))
+            else:
+                L[i][j] = s / L[j][j]
+    # forward substitution L y = b
+    y = [None] * P
+    for i in range(P):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # backward substitution L^T x = y
+    x = [None] * P
+    for i in reversed(range(P)):
+        s = y[i]
+        for k in range(i + 1, P):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("H", "W", "max_iter", "is_2d"))
 def lm_solve(pts, labels, valid, K, theta0, t_lb, t_ub, *,
              H: int, W: int, max_iter: int = 32,
@@ -165,7 +200,7 @@ def lm_solve(pts, labels, valid, K, theta0, t_lb, t_ub, *,
         g = jnp.einsum("rnp,rn,n->p", J, r, w,
                        preferred_element_type=jnp.float32)
         damp = lam * jnp.diag(jnp.diagonal(Hmat)) + 1e-9 * jnp.eye(P)
-        delta = -jnp.linalg.solve(Hmat + damp, g)
+        delta = -_spd_solve(Hmat + damp, g)
         theta_new = clip_t(theta + delta)
         r_new = _residuals_t(theta_new, pts_t, labels, valid, K, H, W, is_2d)
         new_cost = _block_cost(r_new, valid)
@@ -254,19 +289,27 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng,
     labels_s = pred_inside.astype(pc.dtype)[:, ::solver_stride]
     valid_s = valid[:, ::solver_stride]
 
-    solve_one = functools.partial(lm_solve, H=H, W=W, max_iter=max_iter,
-                                  is_2d=is_2d)
-    # vmap over inits, then over pairs
-    inner = jax.vmap(lambda th, p, l, v, k:
-                     solve_one(p, l, v, k, th, t_lb, t_ub),
-                     in_axes=(0, None, None, None, None))
-    outer = jax.vmap(inner, in_axes=(0, 0, 0, 0, 0))
-    res = outer(theta0, pc_s, labels_s, valid_s, K)
+    if is_2d:
+        # analytic-Jacobian fast path (frustum_fast.py)
+        from .frustum_fast import lm_solve_fast
+        thetas, costs, _ = lm_solve_fast(pc_s, labels_s, valid_s, K,
+                                         theta0, t_lb, t_ub,
+                                         H=H, W=W, max_iter=max_iter)
+    else:
+        solve_one = functools.partial(lm_solve, H=H, W=W, max_iter=max_iter,
+                                      is_2d=is_2d)
+        # vmap over inits, then over pairs
+        inner = jax.vmap(lambda th, p, l, v, k:
+                         solve_one(p, l, v, k, th, t_lb, t_ub),
+                         in_axes=(0, None, None, None, None))
+        outer = jax.vmap(inner, in_axes=(0, 0, 0, 0, 0))
+        res = outer(theta0, pc_s, labels_s, valid_s, K)
+        thetas, costs = res.theta, res.cost
 
-    best = jnp.argmin(res.cost, axis=1)                        # (B,)
+    best = jnp.argmin(costs, axis=1)                           # (B,)
     best_theta = jnp.take_along_axis(
-        res.theta, best[:, None, None], axis=1)[:, 0]          # (B, P)
-    best_cost = jnp.take_along_axis(res.cost, best[:, None], axis=1)[:, 0]
+        thetas, best[:, None, None], axis=1)[:, 0]             # (B, P)
+    best_cost = jnp.take_along_axis(costs, best[:, None], axis=1)[:, 0]
     P_out = jax.vmap(lambda th: theta_to_pose(th, is_2d))(best_theta)
 
     has_inside = jnp.sum(pred_inside, axis=1) > 0

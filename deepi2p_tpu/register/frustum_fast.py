@@ -1,0 +1,193 @@
+"""Analytic-Jacobian LM core for the frustum cost (2D mode).
+
+The autodiff path (``frustum.lm_solve``) spends 4 forward-mode tangent
+passes per iteration; here the Jacobian of the residuals w.r.t.
+``theta = [ry, tx, ty, tz]`` is written in closed form, the normal
+equations are accumulated directly (no (N, 3, P) Jacobian tensor is ever
+materialised), and everything is batched over (pairs x inits) in one
+leading axis with the point axis on TPU lanes.
+
+Derivation (all per point, camera model ``px = fx p0/p2 + cx``):
+  p = Ry(ry) x + t  =>  dp/dry = (p2 - tz, 0, -(p0 - tx)),
+  dp/dt = I.  With a = fx/p2, b = fy/p2:
+  dpx/dtheta = a * (dp0/dtheta - (p0/p2) dp2/dtheta)
+  dpy/dtheta = b * (dp1/dtheta - (p1/p2) dp2/dtheta)
+  inside residuals  r = [g0(px), g1(py), -100 relu(-p2)] with
+  g' in {-1, 0, 1} gates; outside residual r = (xd+yd)*gate with
+  dxd/dpx = -sign(px - W1/2) (gates constant a.e., matching Ceres autodiff
+  of the reference cost, ``registration_2d.hpp:52-62,123-127``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .frustum import _spd_solve
+
+
+class FastLMState(NamedTuple):
+    theta: jax.Array       # (..., 4)
+    lam: jax.Array         # (...,)
+    cost: jax.Array        # (...,)
+    n_accepted: jax.Array  # (...,) int32
+
+
+def _forward(theta, xs, ys, zs, fx, fy, cx, cy):
+    """theta (..., 4); xs/ys/zs (..., N); intrinsics (..., 1)."""
+    ry = theta[..., 0:1]
+    tx = theta[..., 1:2]
+    ty = theta[..., 2:3]
+    tz = theta[..., 3:4]
+    c, s = jnp.cos(ry), jnp.sin(ry)
+    p0 = c * xs + s * zs + tx
+    p1 = ys + ty
+    p2 = -s * xs + c * zs + tz
+    px = fx * p0 / p2 + cx
+    py = fy * p1 / p2 + cy
+    return p0, p1, p2, px, py
+
+
+def _residual_cost(theta, xs, ys, zs, labels, valid, fx, fy, cx, cy, H1, W1):
+    """Cauchy-robustified block cost, shape (...,)."""
+    _, _, p2, px, py = _forward(theta, xs, ys, zs, fx, fy, cx, cy)
+    r0_in = jnp.maximum(-px, 0.0) + jnp.maximum(px - W1, 0.0)
+    r1_in = jnp.maximum(-py, 0.0) + jnp.maximum(py - H1, 0.0)
+    r2_in = jnp.maximum(-p2, 0.0) * 100.0
+    xd = W1 * 0.5 - jnp.abs(px - W1 * 0.5)
+    yd = H1 * 0.5 - jnp.abs(py - H1 * 0.5)
+    gate = ((p2 > 0) & (xd > 0) & (yd > 0)).astype(px.dtype)
+    r_out = (xd + yd) * gate
+    is_in = labels > 0.5
+    s = jnp.where(is_in, r0_in ** 2 + r1_in ** 2 + r2_in ** 2, r_out ** 2)
+    return 0.5 * jnp.sum(jnp.log1p(s) * valid, axis=-1)
+
+
+def _normal_equations(theta, xs, ys, zs, labels, valid,
+                      fx, fy, cx, cy, H1, W1):
+    """One fused pass -> (H (...,4,4), g (...,4), cost (...,))."""
+    tx = theta[..., 1:2]
+    tz = theta[..., 3:4]
+    p0, p1, p2, px, py = _forward(theta, xs, ys, zs, fx, fy, cx, cy)
+    inv_z = 1.0 / p2
+    a = fx * inv_z
+    b = fy * inv_z
+    u = p0 * inv_z
+    v = p1 * inv_z
+    # dp/dry: (p2 - tz, 0, -(p0 - tx))
+    dry0 = p2 - tz
+    dry2 = -(p0 - tx)
+    # pixel derivative rows: dpx/dtheta, dpy/dtheta (each (..., N) per param)
+    dpx = (a * (dry0 - u * dry2), a, jnp.zeros_like(a), -a * u)
+    dpy = (b * (-v * dry2), jnp.zeros_like(b), b, -b * v)
+    dz = (dry2, jnp.zeros_like(a), jnp.zeros_like(a), jnp.ones_like(a))
+
+    # residuals + gate derivatives
+    r0_in = jnp.maximum(-px, 0.0) + jnp.maximum(px - W1, 0.0)
+    s0 = jnp.where(px < 0, -1.0, 0.0) + jnp.where(px > W1, 1.0, 0.0)
+    r1_in = jnp.maximum(-py, 0.0) + jnp.maximum(py - H1, 0.0)
+    s1 = jnp.where(py < 0, -1.0, 0.0) + jnp.where(py > H1, 1.0, 0.0)
+    r2_in = jnp.maximum(-p2, 0.0) * 100.0
+    s2 = jnp.where(p2 < 0, -100.0, 0.0)
+
+    xd = W1 * 0.5 - jnp.abs(px - W1 * 0.5)
+    yd = H1 * 0.5 - jnp.abs(py - H1 * 0.5)
+    gate = ((p2 > 0) & (xd > 0) & (yd > 0)).astype(px.dtype)
+    r_out = (xd + yd) * gate
+    sxd = -jnp.sign(px - W1 * 0.5) * gate
+    syd = -jnp.sign(py - H1 * 0.5) * gate
+
+    is_in = labels > 0.5
+    # effective rows: row0 couples to px, row1 to py, row2 to z
+    c0 = jnp.where(is_in, s0, sxd)          # coefficient on dpx
+    c1 = jnp.where(is_in, s1, syd)          # coefficient on dpy (out: +syd)
+    c2 = jnp.where(is_in, s2, 0.0)          # coefficient on dz
+    r0 = jnp.where(is_in, r0_in, r_out)
+    r1 = jnp.where(is_in, r1_in, 0.0)
+    r2 = jnp.where(is_in, r2_in, 0.0)
+    # outside: single residual r_out with d r_out/dtheta = sxd*dpx + syd*dpy
+    # inside: three residuals with jacobian rows s0*dpx, s1*dpy, s2*dz
+
+    s_blk = r0 ** 2 + r1 ** 2 + r2 ** 2
+    w = valid / (1.0 + s_blk)               # Cauchy rho'
+    cost = 0.5 * jnp.sum(jnp.log1p(s_blk) * valid, axis=-1)
+
+    # Jacobian rows per point (4 params each):
+    #   inside:  J0 = s0*dpx, J1 = s1*dpy, J2 = s2*dz   (3 rows)
+    #   outside: J0 = sxd*dpx + syd*dpy (1 row; rows 1,2 are zero)
+    J0 = [jnp.where(is_in, s0 * dx, sxd * dx + syd * dy)
+          for dx, dy in zip(dpx, dpy)]
+    J1 = [jnp.where(is_in, s1 * dy, 0.0) for dy in dpy]
+    J2 = [jnp.where(is_in, s2 * dzk, 0.0) for dzk in dz]
+
+    g = jnp.stack([jnp.sum(w * (J0[k] * r0 + J1[k] * r1 + J2[k] * r2),
+                           axis=-1) for k in range(4)], axis=-1)
+    Hrows = []
+    for i in range(4):
+        for j in range(i, 4):
+            Hij = jnp.sum(w * (J0[i] * J0[j] + J1[i] * J1[j] + J2[i] * J2[j]),
+                          axis=-1)
+            Hrows.append((i, j, Hij))
+    Hmat = jnp.zeros(theta.shape[:-1] + (4, 4), theta.dtype)
+    for i, j, Hij in Hrows:
+        Hmat = Hmat.at[..., i, j].set(Hij)
+        if i != j:
+            Hmat = Hmat.at[..., j, i].set(Hij)
+    return Hmat, g, cost
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "max_iter"))
+def lm_solve_fast(pts, labels, valid, K, theta0, t_lb, t_ub, *,
+                  H: int, W: int, max_iter: int = 32):
+    """Batched analytic-Jacobian LM (2D mode).
+
+    Args:
+      pts (B, N, 3); labels/valid (B, N); K (B, 3, 3);
+      theta0 (B, I, 4); bounds (3,).
+    Returns:
+      (theta (B, I, 4), cost (B, I), n_accepted (B, I) int32).
+    """
+    B, I, _ = theta0.shape
+    xs = pts[:, None, :, 0]                       # (B, 1, N)
+    ys = pts[:, None, :, 1]
+    zs = pts[:, None, :, 2]
+    lab = labels[:, None, :]
+    val = valid[:, None, :]
+    fx = K[:, None, 0:1, 0]
+    fy = K[:, None, 1:2, 1]
+    cx = K[:, None, 0:1, 2]
+    cy = K[:, None, 1:2, 2]
+    H1, W1 = float(H - 1), float(W - 1)
+
+    def clip_t(theta):
+        t = jnp.clip(theta[..., 1:4], t_lb, t_ub)
+        return jnp.concatenate([theta[..., 0:1], t], axis=-1)
+
+    def cost_fn(theta):
+        return _residual_cost(theta, xs, ys, zs, lab, val, fx, fy, cx, cy,
+                              H1, W1)
+
+    def step(state, _):
+        theta, lam, cost, n_acc = state
+        Hmat, g, _ = _normal_equations(theta, xs, ys, zs, lab, val,
+                                       fx, fy, cx, cy, H1, W1)
+        diag = jnp.diagonal(Hmat, axis1=-2, axis2=-1)
+        damp = lam[..., None, None] * \
+            jnp.eye(4) * diag[..., None, :] + 1e-9 * jnp.eye(4)
+        delta = -_spd_solve(Hmat + damp, g)
+        theta_new = clip_t(theta + delta)
+        new_cost = cost_fn(theta_new)
+        accept = new_cost < cost
+        theta = jnp.where(accept[..., None], theta_new, theta)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.clip(jnp.where(accept, lam / 3.0, lam * 3.0), 1e-9, 1e9)
+        return (theta, lam, cost, n_acc + accept.astype(jnp.int32)), None
+
+    theta0 = clip_t(theta0)
+    init = (theta0, jnp.full((B, I), 1e-3), cost_fn(theta0),
+            jnp.zeros((B, I), jnp.int32))
+    (theta, _, cost, n_acc), _ = jax.lax.scan(step, init, None,
+                                              length=max_iter)
+    return theta, cost, n_acc
