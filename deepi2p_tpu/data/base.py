@@ -94,9 +94,17 @@ def resample_points(pc: np.ndarray, extras: List[np.ndarray], n: int,
 def sample_nodes(pc: np.ndarray, num: int, rng: np.random.Generator,
                  oversample: int = 8) -> np.ndarray:
     """FPS over a random ``oversample * num`` subset
-    (``data/kitti_pc_img_pose_loader.py:416-423``)."""
+    (``data/kitti_pc_img_pose_loader.py:416-423``).
+
+    Uses the native C++ core (``native/deepi2p_data.cpp``) when built,
+    numpy otherwise.
+    """
+    from . import native
     pool = min(pc.shape[0], oversample * num)
     sub = pc[rng.choice(pc.shape[0], pool, replace=False)]
+    if native.available():
+        idx = native.fps(sub, num, seed=int(rng.integers(2 ** 63)))
+        return sub[idx].astype(np.float32)
     nodes, _ = farthest_point_sample_np(sub, num, rng)
     return nodes.astype(np.float32)
 

@@ -253,3 +253,37 @@ def test_batch_loader_and_prefetch():
     assert len(batches) == 2
     for b in batches:
         assert b["pc"].shape == (4, cfg.input_pt_num, 3)
+
+
+# --------------------------------------------------------------------------
+# native C++ core
+# --------------------------------------------------------------------------
+
+def test_native_core_matches_numpy(rng):
+    from deepi2p_tpu.data import native
+    if not native.available():
+        pytest.skip("native library not built")
+    pts = rng.normal(size=(500, 3)).astype(np.float32)
+
+    idx = native.fps(pts, 16, seed=3)
+    assert len(set(idx.tolist())) == 16
+    # FPS property: selected points are mutually far apart vs random picks
+    sel = pts[idx]
+    d = np.sqrt(np.sum((sel[:, None] - sel[None]) ** 2, -1))
+    min_sep = np.min(d + np.eye(16) * 1e9)
+    rand_sel = pts[rng.choice(500, 16, replace=False)]
+    dr = np.sqrt(np.sum((rand_sel[:, None] - rand_sel[None]) ** 2, -1))
+    assert min_sep > np.min(dr + np.eye(16) * 1e9) * 0.8
+
+    from deepi2p_tpu.ops.sampling import voxel_downsample_np
+    out_native = native.voxel_downsample(pts, 0.5)
+    out_np = voxel_downsample_np(pts, 0.5)
+    assert abs(out_native.shape[0] - out_np.shape[0]) <= out_np.shape[0] // 10
+    # same centroid overall
+    np.testing.assert_allclose(out_native.mean(0), out_np.mean(0), atol=0.15)
+
+    q = rng.normal(size=(20, 3)).astype(np.float32)
+    got = native.knn(q, pts, 4)
+    d = np.sum((q[:, None] - pts[None]) ** 2, -1)
+    want = np.argsort(d, axis=1)[:, :4]
+    np.testing.assert_array_equal(got, want)
