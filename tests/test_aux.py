@@ -1,0 +1,99 @@
+"""Tests for auxiliary components: extra layers, aux losses, ball query."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deepi2p_tpu.models.extra_layers import (EMAU, PointResNet,
+                                             PointNetFusion, UpConv,
+                                             KNNModule)
+from deepi2p_tpu.train.aux_losses import (gaussian_kernel_2d, gaussian_smooth,
+                                          heatmap_loss, chamfer_loss,
+                                          chamfer_loss_prob,
+                                          keypoint_on_pc_loss,
+                                          img_keypoint_offset_norm_loss)
+from deepi2p_tpu.ops.ball_query import ball_query
+
+
+def test_emau_shapes(rng):
+    x = jnp.asarray(rng.normal(size=(2, 20, 16)).astype(np.float32))
+    m = EMAU(channels=16, bases=4, stage_num=2)
+    vs = m.init(jax.random.PRNGKey(0), x, train=False)
+    (out, mu), _ = m.apply(vs, x, train=True, mutable=["batch_stats"])
+    assert out.shape == (2, 20, 16)
+    assert mu.shape == (2, 4, 16)
+
+
+def test_point_resnet_and_fusion(rng):
+    x = jnp.asarray(rng.normal(size=(2, 10, 8)).astype(np.float32))
+    m = PointResNet([16, 16, 16, 32])
+    vs = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(vs, x).shape == (2, 10, 32)
+
+    f = PointNetFusion([16, 16], [32, 8])
+    vs = f.init(jax.random.PRNGKey(0), x)
+    assert f.apply(vs, x).shape == (2, 10, 8)
+
+    x4 = jnp.asarray(rng.normal(size=(2, 5, 4, 8)).astype(np.float32))
+    f2 = PointNetFusion([16, 16], [32, 8], final_pool=True)
+    vs = f2.init(jax.random.PRNGKey(0), x4)
+    assert f2.apply(vs, x4).shape == (2, 5, 8)
+
+
+def test_upconv_and_knnmodule(rng):
+    img = jnp.asarray(rng.normal(size=(1, 8, 8, 4)).astype(np.float32))
+    m = UpConv(6, normalization="batch", activation="relu")
+    vs = m.init(jax.random.PRNGKey(0), img, train=False)
+    assert m.apply(vs, img, train=False).shape == (1, 16, 16, 6)
+
+    coords = jnp.asarray(rng.normal(size=(2, 12, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(2, 12, 8)).astype(np.float32))
+    km = KNNModule([16, 16], k=4)
+    vs = km.init(jax.random.PRNGKey(0), coords, feats)
+    centers, out = km.apply(vs, coords, feats)
+    assert centers.shape == (2, 12, 3) and out.shape == (2, 12, 16)
+
+
+def test_gaussian_smooth_normalised():
+    k = gaussian_kernel_2d(5, 1.0)
+    np.testing.assert_allclose(float(jnp.sum(k)), 1.0, rtol=1e-6)
+    img = jnp.ones((1, 8, 8, 1))
+    out = gaussian_smooth(img, 5, 1.0)
+    np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-5)
+
+
+def test_heatmap_loss_zero_at_target(rng):
+    kp = jnp.asarray(rng.uniform(2, 12, (1, 3, 2)).astype(np.float32))
+    # heatmap == splatted target => loss 0
+    _, target = heatmap_loss(jnp.zeros((1, 16, 16, 1)), kp, nms_size=5)
+    loss, _ = heatmap_loss(target, kp, nms_size=5)
+    np.testing.assert_allclose(float(loss), 0.0, atol=1e-7)
+
+
+def test_chamfer_losses(rng):
+    a = jnp.asarray(rng.normal(size=(2, 10, 3)).astype(np.float32))
+    total, pure, weighted = chamfer_loss(a, a)
+    np.testing.assert_allclose(float(total), 0.0, atol=1e-4)
+    sig = jnp.ones((2, 10))
+    total_p, pure_p, weighted_p = chamfer_loss_prob(a, a, sig, sig)
+    np.testing.assert_allclose(float(pure_p), 0.0, atol=1e-4)
+    assert np.isfinite(float(total_p))
+
+    kp = a[:, :4] + 1e-4
+    assert float(keypoint_on_pc_loss(kp, a)) < 1e-3
+
+
+def test_offset_norm_loss():
+    off = jnp.asarray([[[0.1, 0.1], [3.0, 0.0]]])
+    loss = img_keypoint_offset_norm_loss(off, 1.0, 1.0)
+    np.testing.assert_allclose(float(loss), 1.5)  # only the 2nd offset
+
+
+def test_ball_query_semantics():
+    # dist rows engineered: row0 has 2 hits -> cyclic pad; row1 none -> zeros
+    dist = jnp.asarray([[[0.5, 9.0, 0.2, 9.0],
+                         [9.0, 9.0, 9.0, 9.0],
+                         [0.1, 0.2, 0.3, 0.4]]])
+    idx = np.asarray(ball_query(dist, radius=1.0, k=3))
+    np.testing.assert_array_equal(idx[0, 0], [0, 2, 0])   # cyclic repeat
+    np.testing.assert_array_equal(idx[0, 1], [0, 0, 0])   # no hits
+    np.testing.assert_array_equal(idx[0, 2], [0, 1, 2])   # first 3 hits
