@@ -169,8 +169,8 @@ def lm_solve_fast(pts, labels, valid, K, theta0, t_lb, t_ub, *,
         return _residual_cost(theta, xs, ys, zs, lab, val, fx, fy, cx, cy,
                               H1, W1)
 
-    def step(state, _):
-        theta, lam, cost, n_acc = state
+    def body(state):
+        it, theta, lam, cost, n_acc, active = state
         Hmat, g, _ = _normal_equations(theta, xs, ys, zs, lab, val,
                                        fx, fy, cx, cy, H1, W1)
         diag = jnp.diagonal(Hmat, axis1=-2, axis2=-1)
@@ -179,15 +179,27 @@ def lm_solve_fast(pts, labels, valid, K, theta0, t_lb, t_ub, *,
         delta = -_spd_solve(Hmat + damp, g)
         theta_new = clip_t(theta + delta)
         new_cost = cost_fn(theta_new)
-        accept = new_cost < cost
+        accept = (new_cost < cost) & active
+        # Ceres-style function tolerance: a problem goes inactive once an
+        # accepted step improves the cost by < 1e-6 relative, or after
+        # repeated rejections push lambda past 1e6.
+        improved = (cost - new_cost) > 1e-6 * jnp.maximum(cost, 1e-12)
         theta = jnp.where(accept[..., None], theta_new, theta)
         cost = jnp.where(accept, new_cost, cost)
-        lam = jnp.clip(jnp.where(accept, lam / 3.0, lam * 3.0), 1e-9, 1e9)
-        return (theta, lam, cost, n_acc + accept.astype(jnp.int32)), None
+        lam = jnp.clip(jnp.where(accept, lam / 3.0,
+                                 jnp.where(active, lam * 3.0, lam)),
+                       1e-9, 1e9)
+        active = active & jnp.where(accept, improved, lam < 1e6)
+        return (it + 1, theta, lam, cost,
+                n_acc + accept.astype(jnp.int32), active)
+
+    def cond(state):
+        it, _, _, _, _, active = state
+        return (it < max_iter) & jnp.any(active)
 
     theta0 = clip_t(theta0)
-    init = (theta0, jnp.full((B, I), 1e-3), cost_fn(theta0),
-            jnp.zeros((B, I), jnp.int32))
-    (theta, _, cost, n_acc), _ = jax.lax.scan(step, init, None,
-                                              length=max_iter)
+    init = (jnp.zeros((), jnp.int32), theta0, jnp.full((B, I), 1e-3),
+            cost_fn(theta0), jnp.zeros((B, I), jnp.int32),
+            jnp.ones((B, I), bool))
+    _, theta, _, cost, n_acc, _ = jax.lax.while_loop(cond, body, init)
     return theta, cost, n_acc

@@ -134,3 +134,26 @@ def test_solve_frustum_batch_no_insiders_fallback(rng):
                                        max_iter=8)
     np.testing.assert_array_equal(np.asarray(P_pred[0]), np.eye(4))
     assert float(cost[0]) == 1e4
+
+
+def test_solver_stride_preserves_quality(rng):
+    """stride-2/4 subsampling must not change success on clean problems."""
+    B = 2
+    pcs, labs, Ps = [], [], []
+    for b in range(B):
+        yaw = rng.uniform(-np.pi, np.pi)
+        t = np.array([rng.uniform(-2, 2), 0.0, rng.uniform(-2, 2)], np.float32)
+        pc, labels, P = _make_problem(rng, yaw, t, n=4096)
+        pcs.append(pc); labs.append(labels); Ps.append(P)
+    pc = jnp.asarray(np.stack(pcs))
+    labels = jnp.asarray(np.stack(labs))
+    K = jnp.asarray(np.tile(K_np, (B, 1, 1)))
+    for stride in (2, 4):
+        P_pred, cost = solve_frustum_batch(pc, labels, K, H=H, W=W,
+                                           rng=jax.random.PRNGKey(0),
+                                           n_inits=16, max_iter=64,
+                                           solver_stride=stride)
+        for b in range(B):
+            rte, rre = pose_diff_np(np.asarray(P_pred[b], np.float64),
+                                    np.asarray(Ps[b], np.float64))
+            assert rte < 2.0 and rre < 5.0, (stride, b, rte, rre)
