@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 BASELINE_REGS_PER_SEC = 500.0
 N_INITS = 60
-MAX_ITER = 32
+MAX_ITER = 64          # while_loop exits early on convergence
+SOLVER_STRIDE = 2      # uniform point subsample in the LM (quality-checked)
 
 
 def main():
@@ -53,7 +54,8 @@ def main():
         pred = jnp.argmax(coarse, axis=-1)
         P, cost = solve_frustum_batch(batch["pc"], pred, batch["K"],
                                       H=cfg.img_H, W=cfg.img_W, rng=rng,
-                                      n_inits=N_INITS, max_iter=MAX_ITER)
+                                      n_inits=N_INITS, max_iter=MAX_ITER,
+                                      solver_stride=SOLVER_STRIDE)
         # data-chain: next carry depends on this step's full output
         return P, cost, jnp.sum(cost) + jnp.sum(P)
 

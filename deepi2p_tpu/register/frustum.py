@@ -290,11 +290,22 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng,
     valid_s = valid[:, ::solver_stride]
 
     if is_2d:
-        # analytic-Jacobian fast path (frustum_fast.py)
+        # analytic-Jacobian fast path (frustum_fast.py), with
+        # successive halving: probe every init for a few iterations, then
+        # spend the remaining budget only on the most promising quarter.
         from .frustum_fast import lm_solve_fast
+        probe_iter = min(8, max_iter)
         thetas, costs, _ = lm_solve_fast(pc_s, labels_s, valid_s, K,
                                          theta0, t_lb, t_ub,
-                                         H=H, W=W, max_iter=max_iter)
+                                         H=H, W=W, max_iter=probe_iter)
+        if max_iter > probe_iter and n_inits >= 8:
+            keep = max(n_inits // 4, 4)
+            top = jnp.argsort(costs, axis=1)[:, :keep]         # (B, keep)
+            theta_top = jnp.take_along_axis(
+                thetas, top[:, :, None], axis=1)               # (B, keep, P)
+            thetas, costs, _ = lm_solve_fast(
+                pc_s, labels_s, valid_s, K, theta_top, t_lb, t_ub,
+                H=H, W=W, max_iter=max_iter - probe_iter)
     else:
         solve_one = functools.partial(lm_solve, H=H, W=W, max_iter=max_iter,
                                       is_2d=is_2d)
