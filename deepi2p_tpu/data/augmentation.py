@@ -45,6 +45,25 @@ def jitter(x: np.ndarray, rng: np.random.Generator,
 
 
 # --------------------------------------------------------------------------
+# coordinate conventions (points are (N, 3) row vectors here)
+# (``data/augmentation.py:55-79``, ``data/kitti_helper.py:7-22``)
+# --------------------------------------------------------------------------
+
+def cam_to_nwu(pc: np.ndarray) -> np.ndarray:
+    """camera (x-right, y-down, z-forward) -> NWU (x-fwd, y-left, z-up)."""
+    return np.stack([pc[:, 2], -pc[:, 0], -pc[:, 1]], axis=1)
+
+
+def nwu_to_cam(pc: np.ndarray) -> np.ndarray:
+    return np.stack([-pc[:, 1], -pc[:, 2], pc[:, 0]], axis=1)
+
+
+def enu_to_cam(pc: np.ndarray) -> np.ndarray:
+    """ENU (x-east, y-north, z-up) -> camera."""
+    return np.stack([pc[:, 0], -pc[:, 2], pc[:, 1]], axis=1)
+
+
+# --------------------------------------------------------------------------
 # ColorJitter (numpy)
 # --------------------------------------------------------------------------
 

@@ -44,15 +44,19 @@ def evaluate_registration(data_dir: str, *, method: str = "frustum",
                           use_labels: bool = False,
                           batch_size: int = 16, n_inits: int = 60,
                           max_iter: int = 32, seed: int = 0,
+                          pseudo_dir: Optional[str] = None,
                           save_dir: Optional[str] = None) -> Dict[str, float]:
     """Run a solver over a dump directory and summarise RTE/RRE/success.
 
     Args:
-      method: 'frustum' | 'pnp' | 'random'.
+      method: 'frustum' | 'pnp' | 'icp' | 'random'.
       stride: evaluate every ``stride``-th pair (the reference uses 30 for
-        the frustum solver, 1 for PnP; ``registration_lsq.py:284``).
+        the frustum solver, 100 for ICP, 1 for PnP;
+        ``registration_lsq.py:284``, ``registration_icp.py:193``).
       use_labels: solve from GT labels instead of predictions (the
         reference's solver oracle mode, ``test_frustum_solver.py``).
+      pseudo_dir: directory of ``{prefix}_pc.npy`` pseudo clouds for 'icp'
+        (see :mod:`deepi2p_tpu.eval.depth`).
     """
     prefixes = list_dump_prefixes(data_dir)[::stride]
     dumps = [load_dump(data_dir, p) for p in prefixes]
@@ -66,6 +70,27 @@ def evaluate_registration(data_dir: str, *, method: str = "frustum",
     if method == "random":
         P_pred_all = random_pose_baseline(len(dumps), rng_np)
         for i, d in enumerate(dumps):
+            P_gt_all[i] = d["P"]
+    elif method == "icp":
+        # per-pair: depth-scale calibration + 60 random inits
+        # (``registration_icp.py:115-139,216-219``)
+        from ..register.icp import icp_random_init, calibrate_depth_scale
+        key = jax.random.PRNGKey(seed)
+        for i, (prefix, d) in enumerate(zip(prefixes, dumps)):
+            pseudo = np.load(os.path.join(pseudo_dir,
+                                          prefix + "_pc.npy")).T  # (M, 3)
+            pc = jnp.asarray(d["pc"], jnp.float32)
+            P_gt = jnp.asarray(d["P"], jnp.float32)
+            cam = pc @ P_gt[:3, :3].T + P_gt[:3, 3]
+            field = "coarse_label" if use_labels else "coarse_pred"
+            inside = jnp.asarray(d[field])
+            s = calibrate_depth_scale(cam[:, 2], inside,
+                                      jnp.asarray(pseudo[:, 2], jnp.float32))
+            key, sub = jax.random.split(key)
+            res = icp_random_init(pc, jnp.asarray(pseudo, jnp.float32) * s,
+                                  sub, n_inits=n_inits, max_iter=max_iter)
+            P_pred_all[i] = np.asarray(res.P)
+            cost_all[i] = float(res.fitness)
             P_gt_all[i] = d["P"]
     else:
         key = jax.random.PRNGKey(seed)

@@ -81,6 +81,20 @@ def random_resample_np(n_have: int, n_want: int,
     return np.concatenate([np.arange(n_have), dup])
 
 
+def projective_farthest_sample_np(pts: np.ndarray, k: int, K: np.ndarray,
+                                  rng: np.random.Generator | None = None):
+    """FPS in projected 2D pixel space, returning the 3D points.
+
+    Mirrors ``ProjectiveFarthestSampler`` (``data/kitti_helper.py:206-221``):
+    project with K, run 2D FPS, gather the corresponding 3D points.
+    """
+    rng = rng or np.random.default_rng()
+    proj = pts @ K.T                      # (N, 3)
+    uv = proj[:, :2] / proj[:, 2:3]
+    _, idx = farthest_point_sample_np(uv, k, rng)
+    return pts[idx], idx
+
+
 # --------------------------------------------------------------------------
 # On-device (JAX)
 # --------------------------------------------------------------------------

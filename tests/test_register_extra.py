@@ -180,3 +180,30 @@ def test_dump_roundtrip_and_harness(tmp_path, rng):
 
     summ_rand = evaluate_registration(out, method="random", H=H, W=W)
     assert 0.0 <= summ_rand["success_rate"] <= 1.0
+
+
+def test_icp_harness_with_pseudo_clouds(tmp_path, rng):
+    """ICP path of the harness: depth->pseudo cloud dump + registration."""
+    from deepi2p_tpu.eval.dump import save_sample_dump
+    from deepi2p_tpu.eval.depth import dump_pseudo_pointclouds
+    from deepi2p_tpu.eval.harness import evaluate_registration
+    from deepi2p_tpu.register.icp import depth_to_pointcloud
+
+    out = str(tmp_path / "data"); pseudo = str(tmp_path / "pseudo")
+    import os; os.makedirs(out)
+    # one pair with a small GT yaw+translation; pseudo cloud = GT-projected
+    pc, coarse, fine, P_gt = _pnp_problem(rng, yaw=0.2, t=(0.5, 0.0, 1.0))
+    save_sample_dump(out, "000000_00", pc=pc, coarse_pred=coarse,
+                     coarse_label=coarse, fine_pred=fine, fine_label=fine,
+                     K=K_np, P=P_gt[:3])
+    # fake "depth network": render GT depth of visible points on a grid
+    cam = pc @ P_gt[:3, :3].T + P_gt[:3, 3]
+    mean_z = cam[coarse == 1, 2].mean()
+    def depth_fn(img):
+        return np.full((H, W), mean_z, np.float32)
+    dump_pseudo_pointclouds([("000000_00", np.zeros((H, W, 3), np.uint8))],
+                            K_np, depth_fn, pseudo, stride=16)
+    summ = evaluate_registration(out, method="icp", H=H, W=W,
+                                 n_inits=4, max_iter=10, pseudo_dir=pseudo)
+    assert summ["num_pairs"] == 1
+    assert np.isfinite(summ["rte_mean"])
