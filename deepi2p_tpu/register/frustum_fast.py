@@ -169,8 +169,13 @@ def lm_solve_fast(pts, labels, valid, K, theta0, t_lb, t_ub, *,
         return _residual_cost(theta, xs, ys, zs, lab, val, fx, fy, cx, cy,
                               H1, W1)
 
-    def body(state):
-        it, theta, lam, cost, n_acc, active = state
+    # NOTE: a convergence-gated lax.while_loop was tried here and measured
+    # >2x SLOWER than a fixed-length scan on TPU (per-iteration predicate
+    # sync defeats pipelining); the fixed scan with per-problem active
+    # masking keeps exact LM semantics, and iteration savings come from the
+    # successive-halving schedule in solve_frustum_batch instead.
+    def body(state, _):
+        theta, lam, cost, n_acc, active = state
         Hmat, g, _ = _normal_equations(theta, xs, ys, zs, lab, val,
                                        fx, fy, cx, cy, H1, W1)
         diag = jnp.diagonal(Hmat, axis1=-2, axis2=-1)
@@ -190,16 +195,12 @@ def lm_solve_fast(pts, labels, valid, K, theta0, t_lb, t_ub, *,
                                  jnp.where(active, lam * 3.0, lam)),
                        1e-9, 1e9)
         active = active & jnp.where(accept, improved, lam < 1e6)
-        return (it + 1, theta, lam, cost,
-                n_acc + accept.astype(jnp.int32), active)
-
-    def cond(state):
-        it, _, _, _, _, active = state
-        return (it < max_iter) & jnp.any(active)
+        return (theta, lam, cost, n_acc + accept.astype(jnp.int32),
+                active), None
 
     theta0 = clip_t(theta0)
-    init = (jnp.zeros((), jnp.int32), theta0, jnp.full((B, I), 1e-3),
-            cost_fn(theta0), jnp.zeros((B, I), jnp.int32),
-            jnp.ones((B, I), bool))
-    _, theta, _, cost, n_acc, _ = jax.lax.while_loop(cond, body, init)
+    init = (theta0, jnp.full((B, I), 1e-3), cost_fn(theta0),
+            jnp.zeros((B, I), jnp.int32), jnp.ones((B, I), bool))
+    (theta, _, cost, n_acc, _), _ = jax.lax.scan(body, init, None,
+                                                 length=max_iter)
     return theta, cost, n_acc
