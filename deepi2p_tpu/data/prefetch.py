@@ -24,7 +24,12 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
                  num_workers: int = 4, drop_last: bool = True,
-                 seed: int = 0, prefetch: int = 4):
+                 seed: int = 0, prefetch: int = 4,
+                 skip_errors: bool = False):
+        """``skip_errors=True`` substitutes another sample when one fails to
+        load (corrupt file etc.) instead of killing the epoch — the
+        reference dies on any worker exception (SURVEY.md §5 'failure
+        detection: none')."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -32,6 +37,8 @@ class BatchLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        self.skip_errors = skip_errors
+        self.error_count = 0
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
@@ -54,13 +61,23 @@ class BatchLoader:
         for bi, idxs in enumerate(batches):
             task_q.put((bi, idxs))
 
+        def fetch(i: int):
+            if not self.skip_errors:
+                return self.dataset[int(i)]
+            for attempt in range(8):
+                try:
+                    return self.dataset[int((i + attempt) % len(self.dataset))]
+                except Exception:
+                    self.error_count += 1
+            raise RuntimeError(f"8 consecutive sample failures near idx {i}")
+
         def worker():
             while True:
                 try:
                     bi, idxs = task_q.get_nowait()
                 except queue.Empty:
                     return
-                samples = [self.dataset[int(i)] for i in idxs]
+                samples = [fetch(int(i)) for i in idxs]
                 batch = collate(samples)
                 with out_lock:
                     out[bi] = batch

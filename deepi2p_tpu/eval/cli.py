@@ -1,0 +1,106 @@
+"""Evaluation entry point.
+
+The one-stop equivalent of the reference's evaluation script collection
+(``evaluation/visualize_and_save_data.py`` + ``registration_lsq.py`` +
+``registration_pnp.py`` + ``icp/registration_icp.py`` +
+``registration_random.py`` + ``registration_result_analysis.py``):
+
+    # 1. dump predictions (from a checkpoint) on the val_random_Ry split
+    python -m deepi2p_tpu.eval.cli dump --dataset oxford --dataroot ... \
+        --checkpoint checkpoints --out runs/dump
+
+    # 2. solve + report RTE/RRE/success
+    python -m deepi2p_tpu.eval.cli solve --data-dir runs/dump \
+        --method frustum --img-h 384 --img-w 640
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="DeepI2P-TPU evaluation")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("dump", help="inference dump in the npy contract")
+    d.add_argument("--dataset", default="synthetic",
+                   choices=["oxford", "kitti", "nuscenes", "synthetic"])
+    d.add_argument("--dataroot", default="")
+    d.add_argument("--checkpoint", default="")
+    d.add_argument("--out", required=True)
+    d.add_argument("--batch-size", type=int, default=None)
+    d.add_argument("--max-batches", type=int, default=None)
+
+    s = sub.add_parser("solve", help="registration over a dump directory")
+    s.add_argument("--data-dir", required=True)
+    s.add_argument("--method", default="frustum",
+                   choices=["frustum", "pnp", "icp", "random"])
+    s.add_argument("--img-h", type=int, required=True)
+    s.add_argument("--img-w", type=int, required=True)
+    s.add_argument("--stride", type=int, default=1)
+    s.add_argument("--n-inits", type=int, default=60)
+    s.add_argument("--max-iter", type=int, default=64)
+    s.add_argument("--use-labels", action="store_true",
+                   help="solve from GT labels (oracle mode)")
+    s.add_argument("--pseudo-dir", default=None)
+    s.add_argument("--save-dir", default=None)
+    args = p.parse_args(argv)
+
+    if args.cmd == "solve":
+        from .harness import evaluate_registration
+        summ = evaluate_registration(
+            args.data_dir, method=args.method, H=args.img_h, W=args.img_w,
+            stride=args.stride, n_inits=args.n_inits, max_iter=args.max_iter,
+            use_labels=args.use_labels, pseudo_dir=args.pseudo_dir,
+            save_dir=args.save_dir)
+        print(json.dumps(summ, indent=2))
+        return summ
+
+    # dump
+    from .. import config as config_mod
+    from ..train.engine import Engine
+    from ..train.checkpoint import CheckpointManager
+    from ..data import BatchLoader, SyntheticDataset
+    from .dump import dump_predictions
+
+    maker = {"oxford": config_mod.oxford, "kitti": config_mod.kitti,
+             "nuscenes": config_mod.nuscenes,
+             "synthetic": config_mod.tiny}[args.dataset]
+    cfg = maker(**({"batch_size": args.batch_size} if args.batch_size else {}))
+
+    if args.dataset == "synthetic":
+        ds = SyntheticDataset(cfg, length=16, seed=7)
+    elif args.dataset == "oxford":
+        from ..data import OxfordLoader
+        ds = OxfordLoader(args.dataroot, "val_random_Ry", cfg)
+    elif args.dataset == "kitti":
+        from ..data import KittiLoader
+        ds = KittiLoader(args.dataroot, "val", cfg)
+        ds.mode = "val_random_Ry"
+    else:
+        from ..data import NuScenesLoader
+        ds = NuScenesLoader(args.dataroot, "val", cfg)
+        ds.mode = "val_random_Ry"
+
+    engine = Engine(cfg)
+    loader = BatchLoader(ds, cfg.batch_size, shuffle=False, num_workers=4)
+    example = next(iter(loader))
+    import jax.numpy as jnp
+    state = engine.init_state(jax.random.PRNGKey(0),
+                              {k: jnp.asarray(v) for k, v in example.items()})
+    if args.checkpoint:
+        mgr = CheckpointManager(args.checkpoint)
+        state = mgr.restore(state)
+        mgr.close()
+    coarse_acc, fine_acc = dump_predictions(engine, state, iter(loader), cfg,
+                                            args.out,
+                                            max_batches=args.max_batches)
+    print(json.dumps({"coarse_accuracy": coarse_acc,
+                      "fine_accuracy": fine_acc}))
+
+
+if __name__ == "__main__":
+    main()

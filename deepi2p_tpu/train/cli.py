@@ -81,7 +81,12 @@ def main(argv=None):
     train_ds, val_ds = build_loaders(cfg, args)
     steps_per_epoch = max(len(train_ds) // cfg.batch_size, 1)
 
-    mesh = make_mesh(n_model=args.mesh_model)
+    # the data axis must divide the batch; drop devices if batch is tiny
+    import math
+    n_dev = len(jax.devices())
+    n_data = math.gcd(cfg.batch_size, max(n_dev // args.mesh_model, 1))
+    devices = jax.devices()[:n_data * args.mesh_model]
+    mesh = make_mesh(n_model=args.mesh_model, devices=devices)
     engine = ShardedEngine(cfg, mesh, steps_per_epoch=steps_per_epoch)
     logger = MetricsLogger(args.log_dir)
     ckpt = CheckpointManager(cfg.checkpoints_dir)

@@ -1,0 +1,43 @@
+"""End-to-end CLI smoke tests: train -> checkpoint -> dump -> solve."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_train_cli_synthetic(tmp_path):
+    from deepi2p_tpu.train.cli import main
+    state = main([
+        "--dataset", "synthetic", "--epochs", "1", "--synthetic-len", "4",
+        "--batch-size", "2", "--workers", "1", "--log-every", "1",
+        "--checkpoints-dir", str(tmp_path / "ck"),
+        "--log-dir", str(tmp_path / "runs"),
+    ])
+    assert int(state.step) == 2
+    assert os.path.exists(tmp_path / "runs" / "metrics.jsonl")
+    # checkpoint written and resumable
+    state2 = main([
+        "--dataset", "synthetic", "--epochs", "1", "--synthetic-len", "4",
+        "--batch-size", "2", "--workers", "1", "--resume",
+        "--checkpoints-dir", str(tmp_path / "ck"),
+        "--log-dir", str(tmp_path / "runs"),
+    ])
+    assert int(state2.step) == 4
+
+
+def test_eval_cli_dump_and_solve(tmp_path, capsys):
+    from deepi2p_tpu.eval.cli import main
+    out = str(tmp_path / "dump")
+    main(["dump", "--dataset", "synthetic", "--out", out,
+          "--batch-size", "2", "--max-batches", "2"])
+    files = os.listdir(out)
+    assert sum(f.endswith("_pc_label.npy") for f in files) == 4
+
+    from deepi2p_tpu import config
+    cfg = config.tiny()
+    summ = main(["solve", "--data-dir", out, "--method", "frustum",
+                 "--img-h", str(cfg.img_H), "--img-w", str(cfg.img_W),
+                 "--n-inits", "4", "--max-iter", "8"])
+    assert summ["num_pairs"] == 4
+    assert np.isfinite(summ["rte_mean"])

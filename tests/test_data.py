@@ -287,3 +287,24 @@ def test_native_core_matches_numpy(rng):
     d = np.sum((q[:, None] - pts[None]) ** 2, -1)
     want = np.argsort(d, axis=1)[:, :4]
     np.testing.assert_array_equal(got, want)
+
+
+def test_batch_loader_skip_errors():
+    cfg = CFG
+
+    class Flaky:
+        def __init__(self):
+            self.inner = SyntheticDataset(cfg, length=8, seed=0)
+
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 3:
+                raise IOError("corrupt sample")
+            return self.inner[i]
+
+    bl = BatchLoader(Flaky(), batch_size=4, num_workers=1, shuffle=False,
+                     skip_errors=True)
+    batches = list(bl)
+    assert len(batches) == 2 and bl.error_count == 1
