@@ -79,7 +79,9 @@ def _node_argmax(features: jax.Array, idx: jax.Array, num_nodes: int,
     offsets = jnp.arange(steps, dtype=jnp.int32) * chunk
     init = (jnp.full((B, num_nodes, C), _NEG, jnp.float32),
             jnp.zeros((B, num_nodes, C), jnp.int32))
-    (_, best_idx), _ = jax.lax.scan(body, init, (feats, idxs, offsets))
+    # unroll: scan-trip overhead dominates on some backends
+    (_, best_idx), _ = jax.lax.scan(body, init, (feats, idxs, offsets),
+                                    unroll=min(4, steps))
     return best_idx
 
 

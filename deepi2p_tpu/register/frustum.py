@@ -215,8 +215,8 @@ def lm_solve(pts, labels, valid, K, theta0, t_lb, t_ub, *,
     r0 = _residuals_t(theta0, pts_t, labels, valid, K, H, W, is_2d)
     init = (theta0, jnp.asarray(1e-3), _block_cost(r0, valid), r0,
             jnp.zeros((), jnp.int32))
-    (theta, _, cost, _, n_acc), _ = jax.lax.scan(step, init, None,
-                                                 length=max_iter)
+    (theta, _, cost, _, n_acc), _ = jax.lax.scan(
+        step, init, None, length=max_iter, unroll=min(8, max_iter))
     return LMResult(theta=theta, cost=cost, n_accepted=n_acc)
 
 

@@ -124,23 +124,23 @@ def _normal_equations(theta, xs, ys, zs, labels, valid,
 
     g = jnp.stack([jnp.sum(w * (J0[k] * r0 + J1[k] * r1 + J2[k] * r2),
                            axis=-1) for k in range(4)], axis=-1)
-    Hrows = []
+    # dense 4x4 assembly via stack (scatter-free: .at[].set would emit one
+    # kernel launch per entry, which dominates on launch-bound backends)
+    Hent = {}
     for i in range(4):
         for j in range(i, 4):
-            Hij = jnp.sum(w * (J0[i] * J0[j] + J1[i] * J1[j] + J2[i] * J2[j]),
-                          axis=-1)
-            Hrows.append((i, j, Hij))
-    Hmat = jnp.zeros(theta.shape[:-1] + (4, 4), theta.dtype)
-    for i, j, Hij in Hrows:
-        Hmat = Hmat.at[..., i, j].set(Hij)
-        if i != j:
-            Hmat = Hmat.at[..., j, i].set(Hij)
+            Hent[(i, j)] = jnp.sum(
+                w * (J0[i] * J0[j] + J1[i] * J1[j] + J2[i] * J2[j]), axis=-1)
+    rows = [jnp.stack([Hent[(min(i, j), max(i, j))] for j in range(4)],
+                      axis=-1) for i in range(4)]
+    Hmat = jnp.stack(rows, axis=-2)
     return Hmat, g, cost
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "max_iter"))
+@functools.partial(jax.jit,
+                   static_argnames=("H", "W", "max_iter", "unroll"))
 def lm_solve_fast(pts, labels, valid, K, theta0, t_lb, t_ub, *,
-                  H: int, W: int, max_iter: int = 32):
+                  H: int, W: int, max_iter: int = 32, unroll: int = 8):
     """Batched analytic-Jacobian LM (2D mode).
 
     Args:
@@ -201,6 +201,7 @@ def lm_solve_fast(pts, labels, valid, K, theta0, t_lb, t_ub, *,
     theta0 = clip_t(theta0)
     init = (theta0, jnp.full((B, I), 1e-3), cost_fn(theta0),
             jnp.zeros((B, I), jnp.int32), jnp.ones((B, I), bool))
-    (theta, _, cost, n_acc, _), _ = jax.lax.scan(body, init, None,
-                                                 length=max_iter)
+    (theta, _, cost, n_acc, _), _ = jax.lax.scan(
+        body, init, None, length=max_iter,
+        unroll=min(unroll, max_iter))
     return theta, cost, n_acc

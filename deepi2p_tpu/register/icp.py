@@ -92,7 +92,8 @@ def icp_point_to_point(source, target, P_init, *, threshold: float = 1.0,
         t = jnp.where(ok, tn, t)
         return (R, t), None
 
-    (R, t), _ = jax.lax.scan(body, (R0, t0), None, length=max_iter)
+    (R, t), _ = jax.lax.scan(body, (R0, t0), None, length=max_iter,
+                             unroll=min(4, max_iter))
     moved = source @ R.T + t
     d2 = pairwise_dist2(moved[None], target[None])[0]
     fitness = jnp.mean((jnp.min(d2, axis=1) < threshold ** 2)

@@ -119,7 +119,8 @@ def _gn_refine(R0, t0, X, uv, K, weights, iters: int = 10):
         g = jnp.einsum("nrp,nr->p", J, r)
         return theta - jnp.linalg.solve(H, g), None
 
-    theta, _ = jax.lax.scan(step, theta0, None, length=iters)
+    theta, _ = jax.lax.scan(step, theta0, None, length=iters,
+                            unroll=iters)
     return rodrigues(theta[:3]), theta[3:]
 
 
