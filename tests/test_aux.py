@@ -97,3 +97,30 @@ def test_ball_query_semantics():
     np.testing.assert_array_equal(idx[0, 0], [0, 2, 0])   # cyclic repeat
     np.testing.assert_array_equal(idx[0, 1], [0, 0, 0])   # no hits
     np.testing.assert_array_equal(idx[0, 2], [0, 1, 2])   # first 3 hits
+
+
+def test_debug_vis(rng):
+    from deepi2p_tpu.eval.debug_vis import (solver_trace, trace_figure,
+                                            tp_fp_fn_colors)
+    from deepi2p_tpu.ops.projection import project_points, coarse_labels
+    H, W = 64, 96
+    K = np.array([[50.0, 0, 48], [0, 50, 32], [0, 0, 1]], np.float32)
+    n = 128
+    th = rng.uniform(0, 2 * np.pi, n)
+    r = rng.uniform(5, 20, n)
+    pc = np.stack([r * np.cos(th), rng.uniform(-1, 1, n),
+                   r * np.sin(th)], -1).astype(np.float32)
+    P = np.eye(4, dtype=np.float32)
+    pxpy, z = project_points(jnp.asarray(pc[None]), jnp.asarray(P[None, :3]),
+                             jnp.asarray(K[None]))
+    labels = np.asarray(
+        __import__("deepi2p_tpu.ops.projection", fromlist=["coarse_labels"])
+        .coarse_labels(pxpy, z, H, W))[0]
+    costs, poses = solver_trace(pc, labels, K, H=H, W=W,
+                                theta0=[0.1, 0, 0, 0.5], n_steps=6)
+    assert len(costs) == 6 and costs[-1] <= costs[0] + 1e-6
+    img = trace_figure(costs)
+    assert img.ndim == 3
+
+    colors = tp_fp_fn_colors(labels, labels)
+    assert colors.shape == (n, 3)
