@@ -1,0 +1,97 @@
+"""Pallas LM mega-kernel vs the XLA implementation (interpret mode on CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deepi2p_tpu.register.frustum_fast import lm_solve_fast
+from deepi2p_tpu.register.frustum_pallas import lm_solve_pallas, I_BLK
+from deepi2p_tpu.register.frustum import theta_to_pose
+from deepi2p_tpu.register.metrics import pose_diff_np
+from deepi2p_tpu.ops.projection import project_points, coarse_labels
+
+H, W = 160, 512
+K_np = np.array([[300.0, 0, W / 2], [0, 300.0, H / 2], [0, 0, 1]], np.float32)
+T_LB = (-5.0, -0.1, -10.0)
+T_UB = (5.0, 0.1, 10.0)
+
+
+def _problem(rng, yaw, t, n=1500):
+    th = rng.uniform(0, 2 * np.pi, n)
+    r = rng.uniform(5, 40, n)
+    pc = np.stack([r * np.cos(th), rng.uniform(-2, 2, n),
+                   r * np.sin(th)], -1).astype(np.float32)
+    c, s = np.cos(yaw), np.sin(yaw)
+    P = np.eye(4, dtype=np.float32)
+    P[:3, :3] = [[c, 0, s], [0, 1, 0], [-s, 0, c]]
+    P[:3, 3] = t
+    pxpy, z = project_points(jnp.asarray(pc[None]), jnp.asarray(P[None, :3]),
+                             jnp.asarray(K_np[None]))
+    labels = np.asarray(coarse_labels(pxpy, z, H, W))[0].astype(np.float32)
+    return pc, labels, P
+
+
+def test_pallas_matches_xla_one_iteration(rng):
+    """One LM step from identical inits must match the XLA path tightly
+    (full trajectories are chaotic at accept/reject decision boundaries)."""
+    pc, labels, P = _problem(rng, 0.6, np.array([0.5, 0.0, 1.0], np.float32))
+    pts = jnp.asarray(pc[None])
+    lab = jnp.asarray(labels[None])
+    valid = jnp.ones_like(lab)
+    K = jnp.asarray(K_np[None])
+    theta0 = jnp.asarray(
+        rng.normal(size=(1, I_BLK, 4)).astype(np.float32)) * 0.2
+
+    th_p, cost_p = lm_solve_pallas(pts, lab, valid, K, theta0,
+                                   T_LB, T_UB, H=H, W=W, max_iter=1,
+                                   interpret=True)
+    th_x, cost_x, _ = lm_solve_fast(pts, lab, valid, K, theta0,
+                                    jnp.asarray(T_LB), jnp.asarray(T_UB),
+                                    H=H, W=W, max_iter=1, unroll=1)
+    np.testing.assert_allclose(np.asarray(cost_p), np.asarray(cost_x),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(th_p), np.asarray(th_x),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_full_solve_recovers_pose(rng):
+    """Full pallas solve from near-GT inits reaches the reference success
+    criterion."""
+    B = 2
+    pcs, labs, Ps, th0 = [], [], [], []
+    for _ in range(B):
+        yaw = rng.uniform(-1, 1)
+        t = np.array([rng.uniform(-1, 1), 0.0, rng.uniform(-1, 1)],
+                     np.float32)
+        pc, labels, P = _problem(rng, yaw, t)
+        pcs.append(pc), labs.append(labels), Ps.append(P)
+        inits = np.zeros((I_BLK, 4), np.float32)
+        inits[:, 0] = yaw + rng.normal(0, 0.15, I_BLK)
+        inits[:, 3] = rng.uniform(-3, 3, I_BLK)
+        th0.append(inits)
+    pts = jnp.asarray(np.stack(pcs))
+    labels = jnp.asarray(np.stack(labs))
+    valid = jnp.ones_like(labels)
+    K = jnp.asarray(np.tile(K_np, (B, 1, 1)))
+    th_p, cost_p = lm_solve_pallas(pts, labels, valid, K,
+                                   jnp.asarray(np.stack(th0)),
+                                   T_LB, T_UB, H=H, W=W, max_iter=32,
+                                   interpret=True)
+    for b in range(B):
+        bi = int(np.argmin(np.asarray(cost_p[b])))
+        P_est = np.asarray(theta_to_pose(th_p[b, bi], True), np.float64)
+        rte, rre = pose_diff_np(P_est, np.asarray(Ps[b], np.float64))
+        assert rte < 2.0 and rre < 5.0, (b, rte, rre)
+
+
+def test_pallas_padding_path(rng):
+    """N not divisible by the point tile exercises the padding branch."""
+    pc, labels, P = _problem(rng, 0.4, np.array([0.0, 0.0, 0.5], np.float32),
+                             n=1111)
+    pts = jnp.asarray(pc[None])
+    lab = jnp.asarray(labels[None])
+    valid = jnp.ones_like(lab)
+    K = jnp.asarray(K_np[None])
+    theta0 = jnp.zeros((1, I_BLK, 4))
+    th, cost = lm_solve_pallas(pts, lab, valid, K, theta0, T_LB, T_UB,
+                               H=H, W=W, max_iter=16, interpret=True)
+    assert np.all(np.isfinite(np.asarray(cost)))
