@@ -124,3 +124,32 @@ def test_debug_vis(rng):
 
     colors = tp_fp_fn_colors(labels, labels)
     assert colors.shape == (n, 3)
+
+
+def test_vis_overlays(rng):
+    from deepi2p_tpu.utils.vis import (classification_overlay,
+                                       registration_overlay, grid, plot_pc,
+                                       fig_to_np)
+    H, W, n = 64, 96, 200
+    img = rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
+    pxpy = rng.uniform(-20, 110, (n, 2)).astype(np.float32)
+    cp = rng.integers(0, 2, n)
+    cl = rng.integers(0, 2, n)
+    out = classification_overlay(pxpy, cp, cl, img, pad=20)
+    assert out.shape == (H + 40, W + 40, 3)
+
+    pc = rng.normal(scale=5, size=(n, 3)).astype(np.float32)
+    pc[:, 2] += 10
+    K = np.array([[50.0, 0, 48], [0, 50, 32], [0, 0, 1]], np.float32)
+    reg = registration_overlay(pc, np.eye(4, dtype=np.float32), K,
+                               np.ones(n), img)
+    assert reg.shape == img.shape
+
+    g = grid([img, img, img], cols=2)
+    assert g.shape == (2 * H, 2 * W, 3)
+
+    import matplotlib
+    matplotlib.use("Agg")
+    ax = plot_pc(pc, color=cl)
+    fig_img = fig_to_np(ax.figure)
+    assert fig_img.ndim == 3
