@@ -33,10 +33,11 @@ POINT_TILE = 1024    # lane-axis tile for the accumulation loops
 def _kernel(pts_ref, labval_ref, kparams_ref, theta0_ref,
             theta_out_ref, cost_out_ref, *, n_tiles: int, max_iter: int,
             H1: float, W1: float, t_lb, t_ub):
-    fx = kparams_ref[0, 0]
-    fy = kparams_ref[0, 1]
-    cx = kparams_ref[0, 2]
-    cy = kparams_ref[0, 3]
+    b = pl.program_id(0)
+    fx = kparams_ref[b, 0]
+    fy = kparams_ref[b, 1]
+    cx = kparams_ref[b, 2]
+    cy = kparams_ref[b, 3]
     fxb = jnp.full((I_BLK, 1), fx)
     fyb = jnp.full((I_BLK, 1), fy)
     cxb = jnp.full((I_BLK, 1), cx)
@@ -99,7 +100,7 @@ def _kernel(pts_ref, labval_ref, kparams_ref, theta0_ref,
     theta, lam, cost = jax.lax.fori_loop(0, max_iter, lm_iter,
                                          (theta, lam, cost))
     theta_out_ref[0] = theta
-    cost_out_ref[0] = cost
+    cost_out_ref[0, 0] = cost
 
 
 @functools.partial(jax.jit,
@@ -144,7 +145,9 @@ def lm_solve_pallas(pts, labels, valid, K, theta0, t_lb, t_ub, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, Np), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4), lambda b, i: (b, 0),
+            # full (B, 4) block: SMEM blocks must be tile-aligned or
+            # equal to the full array; indexed by program_id in-kernel
+            pl.BlockSpec((B, 4), lambda b, i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, I_BLK, 4), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
@@ -152,13 +155,13 @@ def lm_solve_pallas(pts, labels, valid, K, theta0, t_lb, t_ub, *,
         out_specs=(
             pl.BlockSpec((1, I_BLK, 4), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, I_BLK), lambda b, i: (b, i),
+            pl.BlockSpec((1, 1, I_BLK), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, I, 4), jnp.float32),
-            jax.ShapeDtypeStruct((B, I), jnp.float32),
+            jax.ShapeDtypeStruct((B, I // I_BLK, I_BLK), jnp.float32),
         ),
         interpret=interpret,
     )(pts_t, labval, kparams, theta0)
-    return theta, cost
+    return theta, cost.reshape(B, I)
