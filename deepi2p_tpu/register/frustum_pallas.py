@@ -100,7 +100,7 @@ def _kernel(pts_ref, labval_ref, kparams_ref, theta0_ref,
     theta, lam, cost = jax.lax.fori_loop(0, max_iter, lm_iter,
                                          (theta, lam, cost))
     theta_out_ref[0] = theta
-    cost_out_ref[0, 0] = cost
+    cost_out_ref[0, 0, 0] = cost
 
 
 @functools.partial(jax.jit,
@@ -155,12 +155,14 @@ def lm_solve_pallas(pts, labels, valid, K, theta0, t_lb, t_ub, *,
         out_specs=(
             pl.BlockSpec((1, I_BLK, 4), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, I_BLK), lambda b, i: (b, i, 0),
+            # (1, 1, 1, I_BLK): trailing two dims equal the full array's,
+            # satisfying the TPU tile-alignment rule
+            pl.BlockSpec((1, 1, 1, I_BLK), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, I, 4), jnp.float32),
-            jax.ShapeDtypeStruct((B, I // I_BLK, I_BLK), jnp.float32),
+            jax.ShapeDtypeStruct((B, I // I_BLK, 1, I_BLK), jnp.float32),
         ),
         interpret=interpret,
     )(pts_t, labval, kparams, theta0)
