@@ -85,7 +85,8 @@ def _kernel(pts_ref, labval_ref, kparams_ref, theta0_ref,
     def lm_iter(_, state):
         theta, lam, cost = state
         Hm, g, _ = accum_normal(theta)
-        diag = jnp.diagonal(Hm, axis1=-2, axis2=-1)
+        # explicit diagonal: jnp.diagonal lowers to an (unsupported) gather
+        diag = jnp.stack([Hm[:, i, i] for i in range(4)], axis=-1)
         damp = lam[:, None, None] * jnp.eye(4) * diag[:, None, :] \
             + 1e-9 * jnp.eye(4)
         delta = -_spd_solve(Hm + damp, g)
