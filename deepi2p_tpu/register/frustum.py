@@ -252,7 +252,8 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng,
                         init_t_amplitude: float = 10.0,
                         ry_sigma: float = 10.0 * jnp.pi / 180.0,
                         t_lb=(-5.0, -0.1, -10.0), t_ub=(5.0, 0.1, 10.0),
-                        is_2d: bool = True, solver_stride: int = 1):
+                        is_2d: bool = True, solver_stride: int = 1,
+                        backend: str = "auto"):
     """Full multi-init solve for a batch of pairs.
 
     Mirrors ``solve_P_random_perturb`` (``registration_lsq.py:142-186``):
@@ -264,14 +265,29 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng,
     iterations (the cost is a sum over points, so a uniform stride leaves
     the minimiser statistically unchanged while dividing the work).
 
+    ``backend``: 'auto' picks the single-launch Pallas mega-kernel on TPU
+    (``frustum_pallas``) and the XLA scan path elsewhere; 'pallas'/'xla'
+    force one.
+
     Args:
       pc (B,N,3), pred_inside (B,N) int, K (B,3,3).
     Returns:
       (P (B,4,4), cost (B,)).
     """
     B = pc.shape[0]
-    t_lb = jnp.asarray(t_lb)
-    t_ub = jnp.asarray(t_ub)
+    t_lb_t = tuple(float(v) for v in t_lb)
+    t_ub_t = tuple(float(v) for v in t_ub)
+    t_lb = jnp.asarray(t_lb_t)
+    t_ub = jnp.asarray(t_ub_t)
+
+    if backend == "auto":
+        backend = "pallas" if (is_2d and jax.default_backend() == "tpu") \
+            else "xla"
+
+    if backend == "pallas":
+        from .frustum_pallas import I_BLK
+        # pallas wants a multiple of I_BLK inits; extra inits only help
+        n_inits = -(-n_inits // I_BLK) * I_BLK
 
     ang, valid = jax.vmap(initial_guess)(pc, pred_inside)  # (B,), (B,N)
 
@@ -289,7 +305,14 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng,
     labels_s = pred_inside.astype(pc.dtype)[:, ::solver_stride]
     valid_s = valid[:, ::solver_stride]
 
-    if is_2d:
+    if backend == "pallas" and is_2d:
+        # one kernel launch runs every init to completion; successive
+        # halving is counterproductive here (launch cost >> iteration cost)
+        from .frustum_pallas import lm_solve_pallas
+        thetas, costs = lm_solve_pallas(pc_s, labels_s, valid_s, K, theta0,
+                                        t_lb_t, t_ub_t, H=H, W=W,
+                                        max_iter=max_iter)
+    elif is_2d:
         # analytic-Jacobian fast path (frustum_fast.py), with
         # successive halving: probe every init for a few iterations, then
         # spend the remaining budget only on the most promising quarter.
