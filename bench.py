@@ -23,8 +23,8 @@ import jax.numpy as jnp
 
 
 BASELINE_REGS_PER_SEC = 500.0
-N_INITS = 60
-MAX_ITER = 64          # while_loop exits early on convergence
+N_INITS = 64           # rounded to the pallas init-block (reference: 60)
+MAX_ITER = 24          # pallas kernel runs all inits to completion
 SOLVER_STRIDE = 2      # uniform point subsample in the LM (quality-checked)
 
 

@@ -83,6 +83,7 @@ class Config:
 
     # --- compute ----------------------------------------------------------
     compute_dtype: str = "bfloat16"      # activations dtype on TPU
+    remat: bool = False                  # rematerialise MLP activations
     param_dtype: str = "float32"
     mesh_data: int = -1                  # -1 => all devices on the data axis
     mesh_model: int = 1

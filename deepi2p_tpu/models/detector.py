@@ -40,7 +40,12 @@ class KeypointDetector(nn.Module):
 
     def _mlp(self, feats, name, dropout_list=None):
         cfg = self.cfg
-        return PointNetMLP(feats, normalization=cfg.normalization,
+        cls = PointNetMLP
+        if cfg.remat:
+            # trade recompute for activation memory (jax.checkpoint);
+            # the per-point MLPs dominate activation footprint at N=20480
+            cls = nn.remat(PointNetMLP, static_argnums=(2,))
+        return cls(feats, normalization=cfg.normalization,
                            norm_momentum=cfg.norm_momentum,
                            activation=cfg.activation,
                            norm_act_at_last=False,

@@ -121,3 +121,19 @@ def test_resnet_torchvision_parity(rng):
                   jnp.asarray(x), train=False)
     got = np.asarray(out[4])
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_detector_remat_matches(rng):
+    """remat=True must not change outputs (only memory/recompute)."""
+    from deepi2p_tpu.train import Engine
+    from deepi2p_tpu.data import synthetic_batch
+    cfg = config.tiny()
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(cfg, seed=0).items()}
+
+    outs = []
+    for remat in (False, True):
+        eng = Engine(cfg.replace(remat=remat), steps_per_epoch=10)
+        state = eng.init_state(jax.random.PRNGKey(0), batch)
+        m = eng.eval_step(state, batch)
+        outs.append(float(m["loss"]))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5)
