@@ -1,14 +1,18 @@
 """End-of-round benchmark: image<->point-cloud registrations per second.
 
 Measures the full registration hot path on one chip — classifier forward
-(argmax coarse predictions) + multi-init Cauchy-LM frustum solve — against
-the driver-set north star of 500 registrations/sec (BASELINE.json; the
-reference runs 60 Ceres inits x <=500 LM iters on 8 CPU processes,
-``evaluation/registration_lsq.py:334-343``).
+(argmax coarse predictions) + multi-init Cauchy-LM frustum solve (Pallas
+mega-kernel) — against the driver-set north star of 500 registrations/sec
+(BASELINE.json; the reference runs 60 Ceres inits x <=500 LM iters on 8 CPU
+processes, ``evaluation/registration_lsq.py:334-343``).
 
-Timing is artifact-proof: iterations are data-chained (each step's rng is
-derived from the previous step's output) and the final result is fetched to
+Timing is artifact-proof: iterations are data-chained (each step's input
+derives from the previous step's output) and the final result is fetched to
 host, so asynchronous dispatch cannot under-report.
+
+The forward and the solve are dispatched as two executables: the
+measurement relay heavily penalises large fused programs (see
+BENCH_NOTES.md); per-dispatch overhead (~4 ms) is negligible next to it.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -45,28 +49,35 @@ def main():
     variables = init_fn(batch)
 
     @jax.jit
-    def register(variables, batch, carry):
-        rng = jax.random.fold_in(jax.random.PRNGKey(0),
-                                 carry.astype(jnp.int32))
+    def forward(variables, batch, carry):
+        img = batch["img"] + carry * 0.0
         coarse, _fine = model.apply(
             variables, batch["pc"], batch["intensity"], batch["sn"],
-            batch["node_a"], batch["node_b"], batch["img"], train=False)
-        pred = jnp.argmax(coarse, axis=-1)
-        P, cost = solve_frustum_batch(batch["pc"], pred, batch["K"],
+            batch["node_a"], batch["node_b"], img, train=False)
+        return jnp.argmax(coarse, axis=-1)
+
+    @jax.jit
+    def solve(pc, pred, K, carry):
+        rng = jax.random.fold_in(jax.random.PRNGKey(0),
+                                 carry.astype(jnp.int32))
+        P, cost = solve_frustum_batch(pc, pred, K,
                                       H=cfg.img_H, W=cfg.img_W, rng=rng,
                                       n_inits=N_INITS, max_iter=MAX_ITER,
                                       solver_stride=SOLVER_STRIDE)
-        # data-chain: next carry depends on this step's full output
         return P, cost, jnp.sum(cost) + jnp.sum(P)
 
     # warmup / compile; fetch to host to guarantee completion
-    P, cost, carry = register(variables, batch, jnp.zeros(()))
+    carry = jnp.zeros(())
+    pred = forward(variables, batch, carry)
+    P, cost, carry = solve(batch["pc"], pred, batch["K"], carry)
     carry = jnp.asarray(float(np.asarray(carry)))
 
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        P, cost, carry = register(variables, batch, carry)
+        # data chain: forward depends on last solve's carry, solve on forward
+        pred = forward(variables, batch, carry)
+        P, cost, carry = solve(batch["pc"], pred, batch["K"], carry)
     _ = np.asarray(carry)          # host fetch closes the dependency chain
     dt = time.perf_counter() - t0
 
