@@ -6,13 +6,17 @@ mega-kernel) — against the driver-set north star of 500 registrations/sec
 (BASELINE.json; the reference runs 60 Ceres inits x <=500 LM iters on 8 CPU
 processes, ``evaluation/registration_lsq.py:334-343``).
 
-Timing is artifact-proof: iterations are data-chained (each step's input
-derives from the previous step's output) and the final result is fetched to
-host, so asynchronous dispatch cannot under-report.
-
-The forward and the solve are dispatched as two executables: the
-measurement relay heavily penalises large fused programs (see
-BENCH_NOTES.md); per-dispatch overhead (~4 ms) is negligible next to it.
+Timing methodology (hard-won on this measurement relay, see BENCH_NOTES.md):
+  * iterations are data-chained (forward consumes the previous solve's
+    scalar carry; the solve consumes the forward's predictions) and the
+    final carry is fetched to host — asynchronous dispatch cannot
+    under-report;
+  * both stages are AOT-compiled (``jit(...).lower(...).compile()``) so a
+    retrace/recompile inside the timed loop is *impossible* — an argument
+    type mismatch raises instead (a weak_type flip of the carry silently
+    cost a full recompile per run in an earlier revision);
+  * forward and solve are separate executables: the relay heavily
+    penalises very large fused programs.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -28,7 +32,7 @@ import jax.numpy as jnp
 
 BASELINE_REGS_PER_SEC = 500.0
 N_INITS = 64           # rounded to the pallas init-block (reference: 60)
-MAX_ITER = 24          # pallas kernel runs all inits to completion
+MAX_ITER = 24
 SOLVER_STRIDE = 2      # uniform point subsample in the LM (quality-checked)
 
 
@@ -48,7 +52,6 @@ def main():
         b["node_b"], b["img"], train=False))
     variables = init_fn(batch)
 
-    @jax.jit
     def forward(variables, batch, carry):
         img = batch["img"] + carry * 0.0
         coarse, _fine = model.apply(
@@ -56,7 +59,6 @@ def main():
             batch["node_a"], batch["node_b"], img, train=False)
         return jnp.argmax(coarse, axis=-1)
 
-    @jax.jit
     def solve(pc, pred, K, carry):
         rng = jax.random.fold_in(jax.random.PRNGKey(0),
                                  carry.astype(jnp.int32))
@@ -66,18 +68,22 @@ def main():
                                       solver_stride=SOLVER_STRIDE)
         return P, cost, jnp.sum(cost) + jnp.sum(P)
 
-    # warmup / compile; fetch to host to guarantee completion
-    carry = jnp.zeros(())
-    pred = forward(variables, batch, carry)
-    P, cost, carry = solve(batch["pc"], pred, batch["K"], carry)
-    carry = jnp.asarray(float(np.asarray(carry)))
+    # AOT compile both stages against the exact loop-time argument types
+    carry0 = jnp.zeros((), jnp.float32)
+    fwd_exe = jax.jit(forward).lower(variables, batch, carry0).compile()
+    pred0 = fwd_exe(variables, batch, carry0)
+    solve_exe = jax.jit(solve).lower(batch["pc"], pred0, batch["K"],
+                                     carry0).compile()
+    _, _, carry = solve_exe(batch["pc"], pred0, batch["K"], carry0)
+    assert carry.dtype == carry0.dtype and carry.shape == carry0.shape
+    np.asarray(carry)  # sync warmup
 
-    iters = 5
+    iters = 8
     t0 = time.perf_counter()
     for _ in range(iters):
-        # data chain: forward depends on last solve's carry, solve on forward
-        pred = forward(variables, batch, carry)
-        P, cost, carry = solve(batch["pc"], pred, batch["K"], carry)
+        # data chain: forward <- last solve's carry, solve <- predictions
+        pred = fwd_exe(variables, batch, carry)
+        P, cost, carry = solve_exe(batch["pc"], pred, batch["K"], carry)
     _ = np.asarray(carry)          # host fetch closes the dependency chain
     dt = time.perf_counter() - t0
 
