@@ -188,3 +188,39 @@ class KNNModule(nn.Module):
                         activation=self.activation, norm_act_at_last=True,
                         dtype=self.dtype, name="mlp")(y, train)
         return jax.lax.stop_gradient(center[:, :, 0, :]), jnp.max(y, axis=2)
+
+
+class ConvModule(nn.Module):
+    """Conv + norm + activation block with configurable order.
+
+    Parity with the mini-vendored mmcv ``ConvModule``
+    (``models/mmcv/conv_module.py:44-164``) — imported but never
+    instantiated by the reference networks; provided for API completeness.
+    """
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    use_bias: bool = True
+    normalization: Optional[str] = "batch"
+    activation: Optional[str] = "relu"
+    order: Tuple[str, str, str] = ("conv", "norm", "act")
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        ops = {
+            "conv": lambda y: nn.Conv(
+                self.features, (self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride), padding=self.padding,
+                use_bias=self.use_bias, kernel_init=HE_NORMAL,
+                dtype=self.dtype, name="conv")(y),
+            "norm": lambda y: NormLayer(self.normalization or "none",
+                                        dtype=self.dtype,
+                                        name="norm")(y, train),
+            "act": lambda y: (make_activation(self.activation)(y)
+                              if self.activation else y),
+        }
+        for step in self.order:
+            x = ops[step](x)
+        return x

@@ -153,3 +153,28 @@ def test_vis_overlays(rng):
     ax = plot_pc(pc, color=cl)
     fig_img = fig_to_np(ax.figure)
     assert fig_img.ndim == 3
+
+
+def test_query_topk_api(rng):
+    from deepi2p_tpu.ops.som import query_topk
+    B, N, M, k = 2, 20, 6, 3
+    node = jnp.asarray(rng.normal(size=(B, M, 3)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+    mask, row_max, min_idx = query_topk(node, x, M, k)
+    assert mask.shape == (B, k * N, M)
+    assert row_max.shape == (B, M)
+    assert min_idx.shape == (B, k * N)
+    # first N entries are the rank-0 (nearest) assignments
+    d = np.sum((np.asarray(x)[:, :, None] - np.asarray(node)[:, None]) ** 2,
+               axis=-1)
+    np.testing.assert_array_equal(np.asarray(min_idx)[:, :N],
+                                  np.argmin(d, axis=-1))
+
+
+def test_conv_module_orders(rng):
+    from deepi2p_tpu.models.extra_layers import ConvModule
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 4)).astype(np.float32))
+    for order in (("conv", "norm", "act"), ("norm", "conv", "act")):
+        m = ConvModule(6, order=order)
+        vs = m.init(jax.random.PRNGKey(0), x, train=False)
+        assert m.apply(vs, x, train=False).shape == (1, 8, 8, 6)
