@@ -66,9 +66,12 @@ class Engine:
     def init_state(self, rng: jax.Array, example_batch: Dict[str, jax.Array]
                    ) -> TrainState:
         b = example_batch
-        variables = self.model.init(
-            rng, b["pc"], b["intensity"], b["sn"], b["node_a"], b["node_b"],
-            b["img"], train=False)
+        # jitted init: eager init dispatches each op separately, which is
+        # minutes over a remote relay
+        init_fn = jax.jit(lambda r, b: self.model.init(
+            r, b["pc"], b["intensity"], b["sn"], b["node_a"], b["node_b"],
+            b["img"], train=False))
+        variables = init_fn(rng, b)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         return TrainState(step=jnp.zeros((), jnp.int32), params=params,
