@@ -83,3 +83,39 @@ def test_labels_inside_fraction_sane():
                              cfg.img_fine_resolution_scale)
     frac = float(np.mean(np.asarray(labels.coarse)))
     assert 0.0 < frac < 0.9
+
+
+def test_all_params_receive_gradients():
+    """Every parameter leaf must get a (finite, not identically zero)
+    gradient — catches dead branches / wiring bugs in the fusion net."""
+    cfg = config.tiny()
+    eng = Engine(cfg, steps_per_epoch=10)
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(cfg, seed=2).items()}
+    state = eng.init_state(jax.random.PRNGKey(0), batch)
+
+    def loss_fn(params):
+        out, _ = eng._forward(params, state.batch_stats, batch, True,
+                              jax.random.PRNGKey(3))
+        loss, _ = eng._loss_from_out(out, batch)
+        return loss
+
+    grads = jax.grad(loss_fn)(state.params)
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    dead = []
+    for path, g in flat:
+        g = np.asarray(g)
+        assert np.all(np.isfinite(g)), f"non-finite grad at {path}"
+        if np.all(g == 0):
+            dead.append(jax.tree_util.keystr(path))
+    assert not dead, f"parameters with zero gradient: {dead}"
+
+
+def test_profiling_utils(tmp_path):
+    from deepi2p_tpu.utils.profiling import StepTimer, annotate
+    t = StepTimer()
+    x = jnp.ones((8, 8))
+    with t.time("op", result=None):
+        with annotate("matmul"):
+            y = x @ x
+        jax.block_until_ready(y)
+    assert t.mean("op", skip_first=0) > 0
