@@ -149,3 +149,15 @@ def maybe_color_jitter(img: np.ndarray, rng: np.random.Generator,
     if rng.random() < p:
         return color_jitter(img.astype(np.uint8), rng).astype(np.float32)
     return img
+
+
+def crop_pc_with_img(pc: np.ndarray, extras: List[np.ndarray],
+                     img_shape, K: np.ndarray):
+    """Keep only points whose projection lands inside the image
+    (``data/kitti_helper.py:166-190``).  pc (N, 3) in camera coords."""
+    H, W = img_shape[:2]
+    proj = pc @ K.T
+    uv = np.round(proj[:, :2] / proj[:, 2:3])
+    keep = ((uv[:, 0] >= 0) & (uv[:, 0] <= W - 1) &
+            (uv[:, 1] >= 0) & (uv[:, 1] <= H - 1))
+    return pc[keep], [e[keep] for e in extras]

@@ -120,3 +120,61 @@ def kitti_poses_to_npz(poses_txt: str, out_dir: str):
         np.savez(os.path.join(out_dir, f"{i:06d}.npz"), pose=P)
         n += 1
     return n
+
+
+def prepare_frame_in_img_frame(bin_path: str, out_path: str, Pc: np.ndarray,
+                               K: np.ndarray, img_shape, *,
+                               voxel: float = 0.1, normal_k: int = 16):
+    """bin -> npy with the cloud transformed into the CAMERA frame and
+    cropped to the image frustum (``data/kitti/kitti_pc_bin_to_npy_in_img_
+    frame.py`` variant)."""
+    from ..base import crop_pc_with_img
+    raw = np.fromfile(bin_path, dtype=np.float32).reshape(-1, 4)
+    pc_cam = raw[:, :3] @ Pc[:3, :3].T + Pc[:3, 3]
+    pc_cam, (inten,) = crop_pc_with_img(pc_cam, [raw[:, 3:4]], img_shape, K)
+    from .. import native
+    pc_d, inten_d = native.voxel_downsample(pc_cam, voxel, inten)
+    sn = estimate_normals(pc_d, k=normal_k)
+    out = np.concatenate([pc_d.T, inten_d.T, sn.T], axis=0).astype(np.float32)
+    np.save(out_path, out)
+    return out.shape[1]
+
+
+def accumulate_frames_offline(pc_dir: str, pose_dir: str, out_dir: str, *,
+                              frame_num: int = 3, skip: int = 6,
+                              voxel: float = 0.4):
+    """Offline accumulated-cloud variant
+    (``data/kitti/frame_accumulation.py:52-173``): for every frame, fuse
+    +-frame_num neighbours at the given stride into its frame and voxel
+    downsample, writing ``<out>/<ffffff>.npy`` (7xN)."""
+    os.makedirs(out_dir, exist_ok=True)
+    files = sorted(f for f in os.listdir(pc_dir) if f.endswith(".npy"))
+    n = len(files)
+
+    def pose(i):
+        return np.load(os.path.join(pose_dir, f"{i:06d}.npz"))["pose"]
+
+    written = 0
+    for i in range(n):
+        out_path = os.path.join(out_dir, f"{i:06d}.npy")
+        if os.path.exists(out_path):
+            continue
+        P_io = np.linalg.inv(pose(i))
+        parts = []
+        for j in range(i - frame_num * skip, i + frame_num * skip + 1, skip):
+            if j < 0 or j >= n:
+                continue
+            d = np.load(os.path.join(pc_dir, f"{j:06d}.npy"))
+            T = P_io @ pose(j)
+            xyz = (T[:3, :3] @ d[:3] + T[:3, 3:4])
+            sn = T[:3, :3] @ d[4:7]
+            parts.append(np.concatenate([xyz, d[3:4], sn], axis=0))
+        acc = np.concatenate(parts, axis=1)
+        from .. import native
+        pc_d, extra_d = native.voxel_downsample(
+            acc[:3].T.astype(np.float32), voxel,
+            acc[3:].T.astype(np.float32))
+        np.save(out_path, np.concatenate([pc_d.T, extra_d.T],
+                                         axis=0).astype(np.float32))
+        written += 1
+    return written

@@ -63,13 +63,20 @@ def list_dump_prefixes(data_dir: str):
 
 
 def dump_predictions(engine, state, batches: Iterator[Dict], cfg: Config,
-                     out_dir: str, *, max_batches: Optional[int] = None):
+                     out_dir: str, *, max_batches: Optional[int] = None,
+                     viz_dir: Optional[str] = None):
     """Run inference over ``batches`` and write per-sample dumps.
+
+    ``viz_dir`` additionally saves the ``{id}_img.png`` input image and the
+    ``{id}_prediction.png`` TP/FP/FN overlay like the reference
+    (``visualize_and_save_data.py:168-186``).
 
     Returns (coarse_accuracy, fine_accuracy) over the dumped set
     (``visualize_and_save_data.py:141-148,216-217``).
     """
     os.makedirs(out_dir, exist_ok=True)
+    if viz_dir:
+        os.makedirs(viz_dir, exist_ok=True)
     n_total = n_coarse_ok = 0
     n_inside = n_fine_ok = 0
     idx = 0
@@ -101,6 +108,19 @@ def dump_predictions(engine, state, batches: Iterator[Dict], cfg: Config,
                              fine_label=fine_lab[b],
                              K=np.asarray(batch["K"][b]),
                              P=np.asarray(batch["P"][b]))
+            if viz_dir:
+                import cv2
+                from ..utils.vis import classification_overlay
+                img = np.asarray(batch["img"][b]).astype(np.uint8)
+                cv2.imwrite(os.path.join(viz_dir, prefix + "_img.png"),
+                            cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+                overlay = classification_overlay(
+                    np.asarray(labels.pxpy[b]), coarse_pred[b],
+                    coarse_lab[b], img, fine_pred=fine_pred[b],
+                    fine_label=fine_lab[b],
+                    fine_scale=cfg.img_fine_resolution_scale)
+                cv2.imwrite(os.path.join(viz_dir, prefix + "_prediction.png"),
+                            cv2.cvtColor(overlay, cv2.COLOR_RGB2BGR))
             idx += 1
     coarse_acc = n_coarse_ok / max(n_total, 1)
     fine_acc = n_fine_ok / max(n_inside, 1)

@@ -224,3 +224,41 @@ class ConvModule(nn.Module):
         for step in self.order:
             x = ops[step](x)
         return x
+
+
+class WSConv(nn.Conv):
+    """Weight-standardised conv (mmcv ``ConvWS2d``, ``models/mmcv/conv_ws.py``):
+    kernel is mean/std-normalised over its input dims before the conv."""
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        def standardize(kernel):
+            axes = tuple(range(kernel.ndim - 1))   # HWI (all but out channel)
+            mu = jnp.mean(kernel, axis=axes, keepdims=True)
+            std = jnp.std(kernel, axis=axes, keepdims=True)
+            return (kernel - mu) / (std + self.eps)
+        # re-implement via a param + functional conv to standardise lazily
+        in_feats = x.shape[-1]
+        kshape = tuple(self.kernel_size) + (in_feats, self.features)
+        kernel = self.param("kernel", HE_NORMAL, kshape)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        y = jax.lax.conv_general_dilated(
+            x, standardize(kernel),
+            window_strides=tuple(self.strides) if isinstance(self.strides, (tuple, list)) else (self.strides,) * len(self.kernel_size),
+            padding=[(self.padding, self.padding)] * len(self.kernel_size)
+            if isinstance(self.padding, int) else self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias if bias is not None else y
+
+
+class Scale(nn.Module):
+    """Learnable scalar multiplier (mmcv ``Scale``, ``models/mmcv/scale.py``)."""
+    init_value: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        s = self.param("scale",
+                       lambda key: jnp.asarray(self.init_value, jnp.float32))
+        return x * s

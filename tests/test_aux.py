@@ -178,3 +178,26 @@ def test_conv_module_orders(rng):
         m = ConvModule(6, order=order)
         vs = m.init(jax.random.PRNGKey(0), x, train=False)
         assert m.apply(vs, x, train=False).shape == (1, 8, 8, 6)
+
+
+def test_wsconv_and_scale(rng):
+    from deepi2p_tpu.models.extra_layers import WSConv, Scale
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 4)).astype(np.float32))
+    m = WSConv(features=6, kernel_size=(3, 3), padding=1)
+    vs = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(vs, x)
+    assert y.shape == (1, 8, 8, 6)
+    # standardized kernel => output invariant to kernel mean/scale shifts
+    s = Scale(init_value=2.0)
+    vs2 = s.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(s.apply(vs2, x)),
+                               2.0 * np.asarray(x), rtol=1e-6)
+
+
+def test_crop_pc_with_img(rng):
+    from deepi2p_tpu.data.base import crop_pc_with_img
+    K = np.array([[50.0, 0, 48], [0, 50, 32], [0, 0, 1]], np.float32)
+    pc = np.array([[0.0, 0.0, 5.0], [100.0, 0.0, 1.0]], np.float32)
+    extras = [np.array([[1.0], [2.0]], np.float32)]
+    out, (e,) = crop_pc_with_img(pc, extras, (64, 96), K)
+    assert out.shape[0] == 1 and e[0, 0] == 1.0

@@ -308,3 +308,50 @@ def test_batch_loader_skip_errors():
                      skip_errors=True)
     batches = list(bl)
     assert len(batches) == 2 and bl.error_count == 1
+
+
+def test_kitti_prep_pipeline(tmp_path, rng):
+    """bin -> npy with normals; poses txt -> npz; offline accumulation."""
+    from deepi2p_tpu.data.prep.kitti_prep import (
+        prepare_frame, kitti_poses_to_npz, accumulate_frames_offline,
+        estimate_normals, prepare_frame_in_img_frame)
+
+    raw = rng.normal(scale=10, size=(800, 4)).astype(np.float32)
+    bin_path = tmp_path / "000000.bin"
+    raw.tofile(bin_path)
+    out_path = tmp_path / "000000.npy"
+    n = prepare_frame(str(bin_path), str(out_path), voxel=0.5)
+    d = np.load(out_path)
+    assert d.shape[0] == 7 and d.shape[1] == n
+    norms = np.linalg.norm(d[4:7], axis=0)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+    assert np.all(d[6] >= -1e-6)  # oriented to +z
+
+    poses = np.hstack([np.eye(3), np.zeros((3, 1))]).reshape(1, 12)
+    poses = np.tile(poses, (4, 1))
+    poses[:, 3] = np.arange(4)  # tx varies
+    txt = tmp_path / "00.txt"
+    np.savetxt(txt, poses)
+    n = kitti_poses_to_npz(str(txt), str(tmp_path / "poses"))
+    assert n == 4
+    P1 = np.load(tmp_path / "poses" / "000001.npz")["pose"]
+    assert P1[0, 3] == 1.0
+
+    pc_dir = tmp_path / "pc"
+    pc_dir.mkdir()
+    for i in range(4):
+        np.save(pc_dir / f"{i:06d}.npy",
+                rng.normal(scale=5, size=(7, 300)).astype(np.float32))
+    written = accumulate_frames_offline(str(pc_dir), str(tmp_path / "poses"),
+                                        str(tmp_path / "acc"),
+                                        frame_num=1, skip=1, voxel=0.5)
+    assert written == 4
+    acc = np.load(tmp_path / "acc" / "000001.npy")
+    assert acc.shape[0] == 7
+
+    K = np.array([[100.0, 0, 50], [0, 100, 40], [0, 0, 1]], np.float32)
+    Pc = np.eye(4, dtype=np.float32)
+    m = prepare_frame_in_img_frame(str(bin_path),
+                                   str(tmp_path / "imgframe.npy"),
+                                   Pc, K, (80, 100), voxel=0.5)
+    assert m > 0
