@@ -18,7 +18,7 @@ batch dict consumed by :class:`deepi2p_tpu.train.Engine`.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

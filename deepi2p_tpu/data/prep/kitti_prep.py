@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import concurrent.futures as cf
 import os
-from typing import Optional
 
 import numpy as np
 

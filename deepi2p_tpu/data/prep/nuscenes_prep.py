@@ -9,7 +9,6 @@ consumes (``make_datasets.py:79-155,190-196``).
 """
 from __future__ import annotations
 
-import os
 import pickle
 from typing import List
 
@@ -30,8 +29,6 @@ def is_day_scene(scene_record: dict) -> bool:
 def build_dataset_info(nusc, *, max_translation: float = 10.0,
                        out_path: str | None = None) -> List:
     """For each LiDAR frame: {camera_name: [nearby camera tokens]}."""
-    from pyquaternion import Quaternion  # type: ignore
-
     def ego_pos(sd):
         pose = nusc.get("ego_pose", sd["ego_pose_token"])
         return np.asarray(pose["translation"])

@@ -17,8 +17,7 @@ the public robotcar-dataset-sdk, which is not vendored; pass its
 """
 from __future__ import annotations
 
-import os
-from typing import Callable, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

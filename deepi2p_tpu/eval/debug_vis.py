@@ -13,10 +13,9 @@ and ``evaluation/visualization_for_paper.py`` (TP/FP/FN point colouring):
 """
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..register.frustum_fast import lm_solve_fast

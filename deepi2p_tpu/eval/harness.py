@@ -12,7 +12,7 @@ RTE<2m & RRE<5deg success rate, and save ``P_pred_all_np.npy`` /
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 import jax

@@ -21,9 +21,6 @@ Channel plan (cited to the reference):
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

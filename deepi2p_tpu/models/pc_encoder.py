@@ -28,7 +28,7 @@ from flax import linen as nn
 
 from ..ops.knn import knn, gather_knn
 from ..ops.segment import node_pool_max, node_mean_and_count, scatter_to_points
-from .layers import PointNetMLP, make_activation
+from .layers import PointNetMLP
 
 
 class PCEncoderOut(NamedTuple):

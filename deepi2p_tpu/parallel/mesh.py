@@ -14,7 +14,7 @@ let XLA/GSPMD insert the collectives):
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import numpy as np

@@ -20,7 +20,7 @@ Derivation (all per point, camera model ``px = fx p0/p2 + cx``):
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

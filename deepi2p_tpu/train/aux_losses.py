@@ -7,7 +7,6 @@ All functions take channel-last arrays: point clouds (B, N, D), heatmaps
 """
 from __future__ import annotations
 
-import math
 from typing import Optional, Tuple
 
 import jax

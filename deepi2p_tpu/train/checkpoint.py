@@ -11,7 +11,6 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 from .engine import TrainState

@@ -20,8 +20,7 @@ batch pytree (see :mod:`deepi2p_tpu.data.prefetch`).
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
