@@ -262,3 +262,45 @@ class Scale(nn.Module):
         s = self.param("scale",
                        lambda key: jnp.asarray(self.init_value, jnp.float32))
         return x * s
+
+
+class KNNFusionModule(nn.Module):
+    """KNNModule with a two-stage max-pool feature fusion
+    (``models/layers_pc.py:821-896``): the pooled neighbourhood feature is
+    broadcast back and concatenated before a second shared-MLP stack."""
+    features_before: Sequence[int]
+    features_after: Sequence[int]
+    k: int
+    center_type: str = "center"
+    normalization: str = "batch"
+    norm_momentum: float = 0.1
+    activation: str = "relu"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, coords: jax.Array, features: jax.Array,
+                 train: bool = False) -> Tuple[jax.Array, jax.Array]:
+        _, idx = knn(jax.lax.stop_gradient(coords),
+                     jax.lax.stop_gradient(coords), self.k)
+        nb = gather_knn(coords, idx)
+        if self.center_type == "avg":
+            center = jnp.mean(nb, axis=2, keepdims=True)
+        else:
+            center = coords[:, :, None, :]
+        decentered = jax.lax.stop_gradient(nb - center)
+        nb_feat = gather_knn(features, idx)
+        y = jnp.concatenate([decentered, nb_feat], axis=-1)
+        y = PointNetMLP(self.features_before,
+                        normalization=self.normalization,
+                        norm_momentum=self.norm_momentum,
+                        activation=self.activation, norm_act_at_last=True,
+                        dtype=self.dtype, name="before")(y, train)
+        pooled = jnp.max(y, axis=2, keepdims=True)
+        y = jnp.concatenate([jnp.broadcast_to(pooled, y.shape), y], axis=-1)
+        y = PointNetMLP(self.features_after,
+                        normalization=self.normalization,
+                        norm_momentum=self.norm_momentum,
+                        activation=self.activation, norm_act_at_last=True,
+                        dtype=self.dtype, name="after")(y, train)
+        return (jax.lax.stop_gradient(center[:, :, 0, :]),
+                jnp.max(y, axis=2))

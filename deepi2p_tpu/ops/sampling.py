@@ -119,3 +119,15 @@ def farthest_point_sample(pts: jax.Array, k: int, key: jax.Array):
     dist0 = jnp.sum((pts - pts[first]) ** 2, axis=1)
     idx, _ = jax.lax.fori_loop(1, k, body, (idx0, dist0))
     return idx
+
+
+def fps_approximate_np(pc: np.ndarray, voxel_size: float, node_num: int,
+                       rng: np.random.Generator | None = None) -> np.ndarray:
+    """Approximate FPS: voxel-downsample until enough points remain, then
+    randomly pick ``node_num`` (``data/kitti_helper.py:253-258``)."""
+    rng = rng or np.random.default_rng()
+    down = voxel_downsample_np(pc, voxel_size)
+    while down.shape[0] < node_num:
+        voxel_size *= 0.75
+        down = voxel_downsample_np(pc, voxel_size)
+    return down[rng.choice(down.shape[0], node_num, replace=False)]

@@ -201,3 +201,20 @@ def test_crop_pc_with_img(rng):
     extras = [np.array([[1.0], [2.0]], np.float32)]
     out, (e,) = crop_pc_with_img(pc, extras, (64, 96), K)
     assert out.shape[0] == 1 and e[0, 0] == 1.0
+
+
+def test_knn_fusion_module(rng):
+    from deepi2p_tpu.models.extra_layers import KNNFusionModule
+    coords = jnp.asarray(rng.normal(size=(2, 12, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(2, 12, 8)).astype(np.float32))
+    m = KNNFusionModule([16, 16], [32, 16], k=4)
+    vs = m.init(jax.random.PRNGKey(0), coords, feats)
+    centers, out = m.apply(vs, coords, feats)
+    assert centers.shape == (2, 12, 3) and out.shape == (2, 12, 16)
+
+
+def test_fps_approximate(rng):
+    from deepi2p_tpu.ops.sampling import fps_approximate_np
+    pc = rng.normal(scale=5, size=(500, 3)).astype(np.float32)
+    nodes = fps_approximate_np(pc, 2.0, 32, rng)
+    assert nodes.shape == (32, 3)
