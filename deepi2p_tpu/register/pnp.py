@@ -48,6 +48,51 @@ def fine_label_to_cell(fine_label: jax.Array, W_fine: int,
     return uv + 0.5 if center else uv
 
 
+def _smallest_eigvec(A: jax.Array, iters: int = 20) -> jax.Array:
+    """Eigenvector of the smallest eigenvalue of a PSD (12, 12) matrix via
+    inverse power iteration (convergence ratio lambda1/lambda2, which is
+    strong for DLT normal matrices where the solution direction is nearly
+    null).
+
+    ``jnp.linalg.eigh`` lowers to sequential QR sweeps that are very slow on
+    TPU inside a vmapped RANSAC; inverse iteration is ~8 unrolled-Cholesky
+    solves of a tiny SPD system.
+    """
+    from .frustum import _spd_solve
+    n = A.shape[-1]
+    shift = 1e-8 * jnp.trace(A) / n
+    As = A + shift * jnp.eye(n)
+    v = jnp.ones((n,)) / jnp.sqrt(n)
+
+    def body(v, _):
+        w = _spd_solve(As, v)
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-20), None
+    v, _ = jax.lax.scan(body, v, None, length=iters, unroll=iters)
+    return v
+
+
+def _orthogonalize(M: jax.Array, iters: int = 12) -> jax.Array:
+    """Nearest rotation (polar factor) of a 3x3 matrix by Newton iteration
+    ``X <- (X + X^-T)/2`` — the SVD-free Kabsch/Procrustes projection.
+    Sign is fixed to det>0 on entry."""
+    det = jnp.linalg.det(M)
+    M = M * jnp.where(det < 0, -1.0, 1.0)
+    # normalise scale so the iteration contracts
+    M = M / jnp.maximum(jnp.linalg.norm(M, ord="fro") / jnp.sqrt(3.0), 1e-20)
+
+    def body(X, _):
+        # X^-T via adjugate (3x3 closed form)
+        c0 = jnp.cross(X[:, 1], X[:, 2])
+        c1 = jnp.cross(X[:, 2], X[:, 0])
+        c2 = jnp.cross(X[:, 0], X[:, 1])
+        detX = jnp.dot(X[:, 0], c0)
+        X_invT = jnp.stack([c0, c1, c2], axis=1) / jnp.where(
+            jnp.abs(detX) > 1e-20, detX, 1e-20)
+        return 0.5 * (X + X_invT), None
+    X, _ = jax.lax.scan(body, M, None, length=iters, unroll=iters)
+    return X
+
+
 def _dlt_pose(X: jax.Array, uv: jax.Array, K_inv: jax.Array):
     """DLT pose from >=6 2D-3D pairs with known intrinsics.
 
@@ -69,9 +114,8 @@ def _dlt_pose(X: jax.Array, uv: jax.Array, K_inv: jax.Array):
     rows_u = jnp.concatenate([Xh, Z, -u[:, None] * Xh], axis=-1)   # (S, 12)
     rows_v = jnp.concatenate([Z, Xh, -v[:, None] * Xh], axis=-1)   # (S, 12)
     A = jnp.concatenate([rows_u, rows_v], axis=0)                  # (2S, 12)
-    # smallest eigenvector of A^T A
-    w, V = jnp.linalg.eigh(A.T @ A)
-    m = V[:, 0].reshape(3, 4)
+    # smallest eigenvector of A^T A (TPU-friendly flipped power iteration)
+    m = _smallest_eigvec(A.T @ A).reshape(3, 4)
     # undo 3D normalisation: M' [sX; 1] == M [X; 1]
     m = jnp.concatenate(
         [m[:, :3] * scale, (m[:, 3] - m[:, :3] @ (mu * scale))[:, None]],
@@ -81,11 +125,10 @@ def _dlt_pose(X: jax.Array, uv: jax.Array, K_inv: jax.Array):
     depth = Xh_full @ m[2]
     m = m * jnp.where(jnp.sum(depth) < 0, -1.0, 1.0)
     M = m[:, :3]
-    U, s, Vt = jnp.linalg.svd(M)
-    det = jnp.linalg.det(U @ Vt)
-    D = jnp.diag(jnp.array([1.0, 1.0, 1.0])).at[2, 2].set(det)
-    R = U @ D @ Vt
-    t = m[:, 3] / jnp.mean(s)
+    # scale = cbrt(det) of the rotation-scaled block; project to SO(3)
+    scale = jnp.cbrt(jnp.maximum(jnp.abs(jnp.linalg.det(M)), 1e-20))
+    R = _orthogonalize(M)
+    t = m[:, 3] / scale
     return R, t
 
 
