@@ -104,6 +104,15 @@ class MMClassifier:
             params=jax.tree.map(jnp.asarray, params),
             batch_stats=jax.tree.map(jnp.asarray, stats))
 
+    @staticmethod
+    def print_loss_dict(loss_dict, accuracy_dict=None, duration=-1.0):
+        """Console formatting parity (``multimodal_classifier.py:253-261``)."""
+        parts = [f"Per sample time: {duration:.4f} -"]
+        parts += [f"{k}: {v:.4f}," for k, v in loss_dict.items()]
+        if accuracy_dict:
+            parts += [f"{k}: {v:.4f}," for k, v in accuracy_dict.items()]
+        print(" ".join(parts))
+
     # lr control lives in the optax schedule; exposed for API parity
     def update_learning_rate(self, ratio: float):  # noqa: ARG002
         """No-op: the step-decay schedule (``make_lr_schedule``) already

@@ -143,7 +143,10 @@ class Engine:
 
     # -- public API --------------------------------------------------------------
     def train_step(self, state, batch, rng):
-        return self._train_step(state, batch, rng)
+        state, metrics = self._train_step(state, batch, rng)
+        if self.cfg.is_debug:  # loss-dict echo (multimodal_classifier.py:209)
+            print({k: float(v) for k, v in metrics.items()})
+        return state, metrics
 
     def eval_step(self, state, batch):
         return self._eval_step(state, batch)
