@@ -137,3 +137,22 @@ def test_detector_remat_matches(rng):
         m = eng.eval_step(state, batch)
         outs.append(float(m["loss"]))
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5)
+
+
+def test_activation_and_norm_zoo(rng):
+    """Every activation/normalization option runs through the full model
+    (reference zoo: models/layers_pc.py:281-295)."""
+    base = config.tiny().replace(batch_size=1, input_pt_num=128,
+                                 node_a_num=8, node_b_num=8, k_ab=4)
+    pc, intensity, sn, node_a, node_b = _pc_inputs(rng, base, B=1)
+    img = jnp.asarray(
+        rng.normal(size=(1, base.img_H, base.img_W, 3)).astype(np.float32))
+    for act in ("relu", "elu", "swish", "leakyrelu", "selu"):
+        for norm in ("batch", "instance"):
+            cfg = base.replace(activation=act, normalization=norm)
+            m = KeypointDetector(cfg)
+            vs = m.init(jax.random.PRNGKey(0), pc, intensity, sn,
+                        node_a, node_b, img, train=False)
+            coarse, fine = m.apply(vs, pc, intensity, sn, node_a, node_b,
+                                   img, train=False)
+            assert np.all(np.isfinite(np.asarray(coarse))), (act, norm)
