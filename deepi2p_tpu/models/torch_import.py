@@ -127,3 +127,82 @@ def load_torch_detector(state_dict: Dict):
         _set(stats, ("img_encoder", "backbone"), bs)
 
     return params, stats
+
+
+def export_torch_detector(params: Dict, batch_stats: Dict) -> Dict:
+    """Inverse of :func:`load_torch_detector`: flax trees -> a torch-style
+    ``KeypointDetector.state_dict()`` (numpy values), so TPU-trained weights
+    can migrate back to the reference implementation."""
+    sd: Dict = {}
+
+    def get(tree, path):
+        node = tree
+        for p in path:
+            if p not in node:
+                return None
+            node = node[p]
+        return node
+
+    def export_stack(dst_prefix: str, src_path: Tuple[str, ...],
+                     layer_field: str = "layers"):
+        ptree = get(params, src_path)
+        stree = get(batch_stats, src_path) or {}
+        if ptree is None:
+            return
+        i = 0
+        while f"dense_{i}" in ptree:
+            d = ptree[f"dense_{i}"]
+            base = (f"{dst_prefix}.{layer_field}.{i}" if layer_field
+                    else f"{dst_prefix}.{i}")
+            kernel = np.asarray(d["kernel"])            # (Cin, Cout)
+            sd[f"{base}.conv.weight"] = kernel.T[:, :, None]
+            sd[f"{base}.conv.bias"] = np.asarray(d["bias"])
+            if f"norm_{i}" in ptree:
+                bn_p = ptree[f"norm_{i}"]["BatchNorm_0"]
+                bn_s = stree.get(f"norm_{i}", {}).get("BatchNorm_0", {})
+                sd[f"{base}.norm.weight"] = np.asarray(bn_p["scale"])
+                sd[f"{base}.norm.bias"] = np.asarray(bn_p["bias"])
+                if bn_s:
+                    sd[f"{base}.norm.running_mean"] = np.asarray(bn_s["mean"])
+                    sd[f"{base}.norm.running_var"] = np.asarray(bn_s["var"])
+            i += 1
+
+    for src, dst in _PN_MAP.items():
+        export_stack(src, tuple(dst))
+    for src, dst in _KNN_MAP.items():
+        export_stack(src, tuple(dst), layer_field="")
+
+    # image backbone -> torchvision names
+    bb_p = get(params, ("img_encoder", "backbone"))
+    bb_s = get(batch_stats, ("img_encoder", "backbone")) or {}
+    if bb_p is not None:
+        def conv_t(kernel):
+            return np.asarray(kernel).transpose(3, 2, 0, 1)
+
+        def bn(dst, p, s):
+            sd[f"{dst}.weight"] = np.asarray(p["scale"])
+            sd[f"{dst}.bias"] = np.asarray(p["bias"])
+            if s:
+                sd[f"{dst}.running_mean"] = np.asarray(s["mean"])
+                sd[f"{dst}.running_var"] = np.asarray(s["var"])
+
+        pre = "img_encoder.backbone"
+        sd[f"{pre}.conv1.weight"] = conv_t(bb_p["conv1"]["kernel"])
+        bn(f"{pre}.bn1", bb_p["bn1"], bb_s.get("bn1", {}))
+        for stage in range(1, 5):
+            b = 0
+            while f"layer{stage}_{b}" in bb_p:
+                blk_p = bb_p[f"layer{stage}_{b}"]
+                blk_s = bb_s.get(f"layer{stage}_{b}", {})
+                base = f"{pre}.layer{stage}.{b}"
+                for cname in ("conv1", "conv2"):
+                    sd[f"{base}.{cname}.weight"] = conv_t(blk_p[cname]["kernel"])
+                for bname in ("bn1", "bn2"):
+                    bn(f"{base}.{bname}", blk_p[bname], blk_s.get(bname, {}))
+                if "down_conv" in blk_p:
+                    sd[f"{base}.downsample.0.weight"] = conv_t(
+                        blk_p["down_conv"]["kernel"])
+                    bn(f"{base}.downsample.1", blk_p["down_bn"],
+                       blk_s.get("down_bn", {}))
+                b += 1
+    return sd

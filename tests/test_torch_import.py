@@ -124,3 +124,32 @@ def test_torch_checkpoint_import_roundtrip(rng):
                       b["node_b"], b["img"], train=False)
     coarse, fine = out
     assert np.all(np.isfinite(np.asarray(coarse)))
+
+
+def test_export_import_roundtrip(rng):
+    """export_torch_detector(import(x)) reproduces the flax trees exactly."""
+    from deepi2p_tpu.models.torch_import import export_torch_detector
+    cfg = config.tiny()
+    model = KeypointDetector(cfg)
+    from deepi2p_tpu.data import synthetic_batch
+    b = {k: jnp.asarray(v) for k, v in
+         synthetic_batch(cfg, batch_size=1, seed=0).items()}
+    variables = model.init(jax.random.PRNGKey(1), b["pc"], b["intensity"],
+                           b["sn"], b["node_a"], b["node_b"], b["img"],
+                           train=False)
+    params = jax.tree.map(np.asarray, variables["params"])
+    stats = jax.tree.map(np.asarray, variables.get("batch_stats", {}))
+
+    sd = export_torch_detector(params, stats)
+    got_p, got_s = load_torch_detector(sd)
+
+    for (pa, a), (pb, bb) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(got_p)[0]):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_allclose(a, np.asarray(bb), rtol=1e-6,
+                                   err_msg=jax.tree_util.keystr(pa))
+    for (pa, a), (pb, bb) in zip(
+            jax.tree_util.tree_flatten_with_path(stats)[0],
+            jax.tree_util.tree_flatten_with_path(got_s)[0]):
+        np.testing.assert_allclose(a, np.asarray(bb), rtol=1e-6)
