@@ -179,11 +179,12 @@ def _rotmat_to_aa(R):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("W_fine", "n_hypotheses", "min_set"))
+                   static_argnames=("W_fine", "n_hypotheses", "min_set",
+                                    "lo_candidates"))
 def solve_pnp(pc: jax.Array, coarse_pred: jax.Array, fine_pred: jax.Array,
               K: jax.Array, rng: jax.Array, *, W_fine: int,
               n_hypotheses: int = 500, reproj_thresh: float = 0.6,
-              min_set: int = 12) -> PnPResult:
+              min_set: int = 8, lo_candidates: int = 4) -> PnPResult:
     """RANSAC PnP for one pair (vmap over a batch as needed).
 
     Args:
@@ -209,25 +210,35 @@ def solve_pnp(pc: jax.Array, coarse_pred: jax.Array, fine_pred: jax.Array,
         return R, t, jnp.sum(inl)
 
     Rs, ts, n_inl = jax.vmap(hypo)(subset_idx)
-    best = jnp.argmax(n_inl)
-    R_b, t_b = Rs[best], ts[best]
+    # -- LO-RANSAC: polish the top candidates with shrinking-threshold
+    # inlier refits, then keep the best refined pose ----------------------
+    _, top = jax.lax.top_k(n_inl, lo_candidates)
 
-    # -- LO-RANSAC polish: refit on inliers with a shrinking threshold ----
-    R_f, t_f = R_b, t_b
-    for thresh in (1.5 * reproj_thresh, 1.25 * reproj_thresh, reproj_thresh):
-        err = _reproj_err(R_f, t_f, pc, uv, K_fine)
-        w = (err < thresh).astype(jnp.float32) * mask
-        R_n, t_n = _gn_refine(R_f, t_f, pc, uv, K_fine, w)
-        err_n = _reproj_err(R_n, t_n, pc, uv, K_fine)
-        better = (jnp.sum((err_n < reproj_thresh).astype(jnp.float32) * mask)
-                  >= jnp.sum((err < reproj_thresh).astype(jnp.float32) * mask))
-        R_f = jnp.where(better, R_n, R_f)
-        t_f = jnp.where(better, t_n, t_f)
-    err_f = _reproj_err(R_f, t_f, pc, uv, K_fine)
-    inl_f = jnp.sum((err_f < reproj_thresh).astype(jnp.float32) * mask)
-    use_best = n_inl[best] > inl_f
-    R_f = jnp.where(use_best, R_b, R_f)
-    t_f = jnp.where(use_best, t_b, t_f)
+    def polish(R_f, t_f):
+        for thresh in (1.5 * reproj_thresh, 1.25 * reproj_thresh,
+                       reproj_thresh):
+            err = _reproj_err(R_f, t_f, pc, uv, K_fine)
+            w = (err < thresh).astype(jnp.float32) * mask
+            R_n, t_n = _gn_refine(R_f, t_f, pc, uv, K_fine, w)
+            err_n = _reproj_err(R_n, t_n, pc, uv, K_fine)
+            better = (jnp.sum((err_n < reproj_thresh).astype(jnp.float32)
+                              * mask)
+                      >= jnp.sum((err < reproj_thresh).astype(jnp.float32)
+                                 * mask))
+            R_f = jnp.where(better, R_n, R_f)
+            t_f = jnp.where(better, t_n, t_f)
+        err_f = _reproj_err(R_f, t_f, pc, uv, K_fine)
+        inl = jnp.sum((err_f < reproj_thresh).astype(jnp.float32) * mask)
+        return R_f, t_f, inl
+
+    R_c, t_c, inl_c = jax.vmap(polish)(Rs[top], ts[top])
+    ci = jnp.argmax(inl_c)
+    R_f, t_f, inl_f = R_c[ci], t_c[ci], inl_c[ci]
+    # raw best hypothesis as fallback if polish hurt
+    best = jnp.argmax(n_inl)
+    use_raw = n_inl[best] > inl_f
+    R_f = jnp.where(use_raw, Rs[best], R_f)
+    t_f = jnp.where(use_raw, ts[best], t_f)
     inl_f = jnp.maximum(inl_f, n_inl[best])
 
     # -- guards (registration_pnp.py:123-146) -----------------------------
