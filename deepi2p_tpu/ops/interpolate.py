@@ -27,7 +27,12 @@ def interpolate_inverse_dist(query: jax.Array, database: jax.Array,
       (B, N, C) weighted feature sum, weights ``1 - d/sum_k(d)``.
     """
     nb_coord = gather_knn(database, topk_idx)               # (B, N, k, 3)
-    d = jnp.linalg.norm(query[:, :, None, :] - nb_coord, axis=-1)  # (B, N, k)
+    # Clamped sqrt: queries can coincide with database points exactly (FPS
+    # nodes ARE cloud points, and duplicated nodes occur after resampling),
+    # where norm(0) has a NaN gradient and an all-zero neighbourhood makes
+    # d/sum(d) = 0/0.  The clamp yields the uniform-weight limit instead.
+    sq = jnp.sum(jnp.square(query[:, :, None, :] - nb_coord), axis=-1)
+    d = jnp.sqrt(jnp.maximum(sq, 1e-12))                    # (B, N, k)
     w = 1.0 - d / jnp.sum(d, axis=2, keepdims=True)         # (B, N, k)
     nb_feat = gather_knn(database_features, topk_idx)       # (B, N, k, C)
     return jnp.einsum("bnk,bnkc->bnc", w.astype(nb_feat.dtype), nb_feat,

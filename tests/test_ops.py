@@ -113,6 +113,24 @@ def test_interpolate_weights(rng):
         np.testing.assert_allclose(got[0, n], want, rtol=1e-4, atol=1e-5)
 
 
+def test_interpolate_degenerate_neighbourhood():
+    """Coincident / duplicated neighbours must not produce NaN (forward:
+    0/0 weight ratio; backward: norm gradient at 0).  FPS nodes ARE cloud
+    points and duplicate nodes occur after resampling, so this is a
+    real-data case — found via dryrun_multichip(3) loss=NaN."""
+    q = jnp.array([[[0.0, 0.0, 0.0], [1.0, 1.0, 1.0]]])
+    db = jnp.array([[[0.0, 0.0, 0.0], [0.0, 0.0, 0.0],
+                     [0.0, 0.0, 0.0], [2.0, 2.0, 2.0]]])
+    feat = jnp.ones((1, 4, 5))
+    _, idx = knn(q, db, 3)
+    out = interpolate_inverse_dist(q, db, feat, idx)
+    assert np.isfinite(np.asarray(out)).all()
+    # all-equal distances -> uniform weights 1 - 1/3, summing to 2 (k=3)
+    np.testing.assert_allclose(np.asarray(out[0, 0]), 2.0, rtol=1e-4)
+    g = jax.grad(lambda qq: interpolate_inverse_dist(qq, db, feat, idx).sum())(q)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_projection_and_labels():
     H, W, scale = 64, 96, 32
     K = np.array([[[50.0, 0, 48], [0, 50, 32], [0, 0, 1]]], np.float32)
