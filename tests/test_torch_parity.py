@@ -1,0 +1,187 @@
+"""Numerical parity: reference torch KeypointDetector vs the flax model.
+
+VERDICT r1 item 4: instantiate the reference ``KeypointDetector``
+(``models/networks_united.py:14-210``) on CPU torch, export its random-init
+``state_dict``, import via :mod:`deepi2p_tpu.models.torch_import`, and assert
+the forward logits match the flax model on one identical batch (eval mode).
+This substitutes for unavailable trained weights: it pins the channel plan,
+the weight-name mapping, and the op semantics (index_max, kNN, attention,
+interpolation) against the reference in one shot.
+
+The reference's CUDA ``index_max`` extension is replaced by a CPU stub with
+the exact kernel semantics (``models/index_max_ext/index_max_cuda.cu:30-62``:
+init -1000, strict ``>`` so the FIRST max wins, empty node -> index 0);
+``torchvision.models.utils`` (absent in this image) is stubbed so the
+vendored resnet imports, and the pretrained download is replaced by a
+random-init state_dict (zero-egress environment).
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+jnp = pytest.importorskip("jax.numpy")
+
+REF = "/root/reference"
+
+
+def _install_fake_index_max():
+    if "index_max" in sys.modules:
+        return
+    mod = types.ModuleType("index_max")
+
+    def forward_cuda_shared_mem(data, index, K):
+        """CPU replica of index_max_forward_cuda_kernel_shared_mem."""
+        B, C, N = data.shape
+        data = data.detach().float()
+        idx = index.long().unsqueeze(1).expand(B, C, N)
+        val = torch.full((B, C, K), -1000.0)
+        val = val.scatter_reduce(2, idx, data, reduce="amax",
+                                 include_self=True)
+        n_pos = torch.arange(N).view(1, 1, N).expand(B, C, N)
+        cand = torch.where(data == val.gather(2, idx), n_pos,
+                           torch.full_like(n_pos, N))
+        first = torch.full((B, C, K), N, dtype=torch.long).scatter_reduce(
+            2, idx, cand, reduce="amin", include_self=True)
+        return torch.where(first == N, torch.zeros_like(first), first).int()
+
+    mod.forward_cuda_shared_mem = forward_cuda_shared_mem
+    mod.forward_cuda = forward_cuda_shared_mem
+    sys.modules["index_max"] = mod
+
+
+def _install_fake_torchvision():
+    try:
+        from torchvision.models.utils import load_state_dict_from_url  # noqa
+        return
+    except ImportError:
+        pass
+    tv = sys.modules.setdefault("torchvision", types.ModuleType("torchvision"))
+    tvm = sys.modules.setdefault("torchvision.models",
+                                 types.ModuleType("torchvision.models"))
+    tvu = types.ModuleType("torchvision.models.utils")
+    tvu.load_state_dict_from_url = None        # patched post-import
+    sys.modules["torchvision.models.utils"] = tvu
+    tv.models = tvm
+    tvm.utils = tvu
+
+
+@pytest.fixture(scope="module")
+def ref_setup():
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    _install_fake_index_max()
+    _install_fake_torchvision()
+    import models.resnet as ref_resnet
+    # zero-egress: 'pretrained' weights = a reproducible random-init dict
+    def _fake_url_load(*a, **k):
+        torch.manual_seed(7)
+        return ref_resnet.resnet34(in_channels=3, pretrained=False).state_dict()
+    ref_resnet.load_state_dict_from_url = _fake_url_load
+    sys.modules["torchvision.models.utils"].load_state_dict_from_url = \
+        _fake_url_load
+
+    from kitti.options import Options
+    from models.networks_united import KeypointDetector as RefDetector
+
+    opt = Options()
+    opt.device = torch.device("cpu")
+    opt.batch_size = 2
+    opt.input_pt_num = 1280
+    opt.node_a_num = 32
+    opt.node_b_num = 32
+    opt.k_ab = 8
+    opt.img_H = 96
+    opt.img_W = 160
+    opt.is_fine_resolution = True
+    torch.manual_seed(0)
+    det = RefDetector(opt).eval()
+    return det, opt
+
+
+def _random_inputs(opt, seed=0):
+    rng = np.random.default_rng(seed)
+    B, N, Ma, Mb = opt.batch_size, opt.input_pt_num, opt.node_a_num, opt.node_b_num
+    pc = rng.normal(scale=10.0, size=(B, 3, N)).astype(np.float32)
+    intensity = rng.uniform(size=(B, 1, N)).astype(np.float32)
+    sn = rng.normal(size=(B, 3, N)).astype(np.float32)
+    # nodes ARE cloud points, as FPS produces (exercises the d=0 paths)
+    node_a = np.stack([pc[b, :, rng.choice(N, Ma, replace=False)].T
+                       for b in range(B)])
+    node_b = np.stack([pc[b, :, rng.choice(N, Mb, replace=False)].T
+                       for b in range(B)])
+    img = rng.uniform(size=(B, 3, opt.img_H, opt.img_W)).astype(np.float32)
+    return pc, intensity, sn, node_a.astype(np.float32), \
+        node_b.astype(np.float32), img
+
+
+def test_forward_logits_match(ref_setup):
+    from deepi2p_tpu import config
+    from deepi2p_tpu.models import KeypointDetector
+    from deepi2p_tpu.models.torch_import import load_torch_detector
+
+    det, opt = ref_setup
+    pc, intensity, sn, node_a, node_b, img = _random_inputs(opt)
+
+    with torch.no_grad():
+        ref_coarse, ref_fine = det(
+            torch.from_numpy(pc), torch.from_numpy(intensity),
+            torch.from_numpy(sn), torch.from_numpy(node_a),
+            torch.from_numpy(node_b), torch.from_numpy(img))
+    ref_coarse = ref_coarse.numpy().transpose(0, 2, 1)     # (B, N, 2)
+    ref_fine = ref_fine.numpy().transpose(0, 2, 1)         # (B, N, L)
+
+    cfg = config.kitti(
+        batch_size=opt.batch_size, input_pt_num=opt.input_pt_num,
+        node_a_num=opt.node_a_num, node_b_num=opt.node_b_num,
+        k_ab=opt.k_ab, img_H=opt.img_H, img_W=opt.img_W,
+        compute_dtype="float32")
+    model = KeypointDetector(cfg)
+    params, stats = load_torch_detector(det.state_dict())
+    variables = {"params": params, "batch_stats": stats}
+
+    flax_coarse, flax_fine = model.apply(
+        variables,
+        jnp.asarray(pc.transpose(0, 2, 1)),
+        jnp.asarray(intensity.transpose(0, 2, 1)),
+        jnp.asarray(sn.transpose(0, 2, 1)),
+        jnp.asarray(node_a.transpose(0, 2, 1)),
+        jnp.asarray(node_b.transpose(0, 2, 1)),
+        jnp.asarray(img.transpose(0, 2, 3, 1)),
+        train=False)
+    flax_coarse = np.asarray(flax_coarse)
+    flax_fine = np.asarray(flax_fine)
+
+    assert flax_coarse.shape == ref_coarse.shape
+    assert flax_fine.shape == ref_fine.shape
+    scale = max(np.abs(ref_coarse).max(), 1.0)
+    np.testing.assert_allclose(flax_coarse, ref_coarse, atol=2e-3 * scale,
+                               rtol=2e-3)
+    scale_f = max(np.abs(ref_fine).max(), 1.0)
+    np.testing.assert_allclose(flax_fine, ref_fine, atol=2e-3 * scale_f,
+                               rtol=2e-3)
+
+
+def test_index_max_stub_matches_reference_cpu_ext(ref_setup):
+    """Oracle for the oracle: the CPU stub must equal the reference's own
+    single-thread CPU implementation (``index_max.cpp:73-112``) on random
+    inputs — here re-stated as a naive python loop."""
+    import index_max as stub
+    rng = np.random.default_rng(1)
+    B, C, N, K = 2, 5, 64, 8
+    data = torch.from_numpy(rng.normal(size=(B, C, N)).astype(np.float32))
+    index = torch.from_numpy(rng.integers(0, K, size=(B, N)).astype(np.int32))
+    got = stub.forward_cuda_shared_mem(data, index, K).numpy()
+    want = np.zeros((B, C, K), np.int32)
+    val = np.full((B, C, K), -1000.0, np.float32)
+    d, ix = data.numpy(), index.numpy()
+    for b in range(B):
+        for n in range(N):
+            k = ix[b, n]
+            for c in range(C):
+                if d[b, c, n] > val[b, c, k]:
+                    val[b, c, k] = d[b, c, n]
+                    want[b, c, k] = n
+    np.testing.assert_array_equal(got, want)
