@@ -67,6 +67,7 @@ class Labels(NamedTuple):
     fine: jax.Array     # (B, N) int32, meaningful only where coarse == 1
     pxpy: jax.Array     # (B, N, 2) float32 pixel coordinates
     z: jax.Array        # (B, N) float32 camera-frame depth
+    fine_violations: jax.Array   # () int32: insiders with out-of-range fine
 
 
 def generate_labels(pc: jax.Array, P: jax.Array, K: jax.Array,
@@ -76,7 +77,14 @@ def generate_labels(pc: jax.Array, P: jax.Array, K: jax.Array,
     coarse = coarse_labels(pxpy, z, H, W)
     W_fine = int(round(W / fine_scale))
     fine = fine_labels(pxpy, fine_scale, W_fine)
-    # Clamp fine labels where outside so downstream one-hot stays in range.
+    # The reference ASSERTS every insider's fine label is in range
+    # (``multimodal_classifier.py:169-172``); asserts don't exist under
+    # XLA, so the violation count is surfaced as a metric instead — a
+    # projection-math bug shows up as fine_violations > 0 rather than
+    # being silently clipped away.
     L = W_fine * int(round(H / fine_scale))
+    violations = jnp.sum(coarse * ((fine < 0) | (fine >= L)).astype(jnp.int32))
+    # Clamp fine labels where outside so downstream one-hot stays in range.
     fine = jnp.clip(fine, 0, L - 1)
-    return Labels(coarse=coarse, fine=fine, pxpy=pxpy, z=z)
+    return Labels(coarse=coarse, fine=fine, pxpy=pxpy, z=z,
+                  fine_violations=violations)

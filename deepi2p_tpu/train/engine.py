@@ -103,8 +103,12 @@ class Engine:
             coarse_logits, fine_logits = out
         else:
             coarse_logits, fine_logits = out, None
-        return classification_loss(coarse_logits, fine_logits, labels,
-                                   coarse_loss_alpha=cfg.coarse_loss_alpha)
+        loss, metrics = classification_loss(
+            coarse_logits, fine_logits, labels,
+            coarse_loss_alpha=cfg.coarse_loss_alpha)
+        # reference asserts this is zero (multimodal_classifier.py:169-172)
+        metrics["fine_violations"] = labels.fine_violations
+        return loss, metrics
 
     # -- steps -----------------------------------------------------------------
     def _train_step_impl(self, state: TrainState, batch, rng):
