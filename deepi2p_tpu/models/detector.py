@@ -101,9 +101,9 @@ class KeypointDetector(nn.Module):
                             axis=-1), train)
 
         # ---- interpolate node_b -> pc (networks_united.py:157-165)
-        _, pb_idx = knn(pc, node_b, cfg.k_interp_point_b)
+        pb_d2, pb_idx = knn(pc, node_b, cfg.k_interp_point_b)
         interp_pb = interpolate_inverse_dist(pc.astype(dt), node_b.astype(dt),
-                                             up_node_b, pb_idx)
+                                             up_node_b, pb_idx, dist2=pb_d2)
 
         # ---- node_a attention over the s16 map (networks_united.py:170-174)
         na_att = self._mlp([256, 4 * L], "node_a_attention_pn")(
@@ -112,17 +112,18 @@ class KeypointDetector(nn.Module):
                             preferred_element_type=jnp.float32).astype(dt) / (4 * L)
 
         # ---- interpolate node_b -> node_a (networks_united.py:176-182)
-        _, ab_idx = knn(node_a, node_b, cfg.k_interp_ab)
+        ab_d2, ab_idx = knn(node_a, node_b, cfg.k_interp_ab)
         interp_ab = interpolate_inverse_dist(node_a.astype(dt),
                                              node_b.astype(dt),
-                                             up_node_b, ab_idx)
+                                             up_node_b, ab_idx, dist2=ab_d2)
         up_node_a = self._mlp([512, 128, 128], "node_a_pn")(
             jnp.concatenate([enc.node_a_features, interp_ab, na_img], axis=-1),
             train)
 
         # ---- interpolate node_a -> pc, reusing the encoder kNN (:188-191)
         interp_pa = interpolate_inverse_dist(pc.astype(dt), node_a.astype(dt),
-                                             up_node_a, enc.min_k_idx)
+                                             up_node_a, enc.min_k_idx,
+                                             dist2=enc.min_k_d2)
 
         # ---- per-point head (:194-208)
         head_in = jnp.concatenate(

@@ -40,6 +40,7 @@ class PCEncoderOut(NamedTuple):
     node_a_features: jax.Array   # (B, Ma, Ca)
     node_b_features: jax.Array   # (B, Mb, Cb)
     global_feature: jax.Array    # (B, Cg)
+    min_k_d2: jax.Array          # (B, N, k) squared dists matching min_k_idx
 
 
 class PCEncoder(nn.Module):
@@ -69,7 +70,7 @@ class PCEncoder(nn.Module):
         half = self.Ca // 2
 
         # -- point -> node_a assignment & de-centering ---------------------
-        _, min_k_idx = knn(pc, node_a, self.k_interp_point_a)   # (B, N, k)
+        min_k_d2, min_k_idx = knn(pc, node_a, self.k_interp_point_a)  # (B,N,k)
         min_idx = min_k_idx[:, :, 0]                            # (B, N)
         cluster_mean, count = node_mean_and_count(pc, min_idx, Ma)
         has_points = (count > 0).astype(pc.dtype)               # (B, Ma)
@@ -79,11 +80,13 @@ class PCEncoder(nn.Module):
         # -- first & second PointNet with node max-pool fusion --------------
         x = jnp.concatenate([pc_decentered, intensity, sn], axis=-1)  # (B,N,7)
         first_pn_out = self._mlp([half] * 3, "first_pointnet")(x, train)
-        pooled1, _ = node_pool_max(first_pn_out, min_idx, Ma)
+        pooled1, _ = node_pool_max(first_pn_out, min_idx, Ma,
+                                   has_points=has_points)
         fused = jnp.concatenate(
             [first_pn_out, scatter_to_points(pooled1, min_idx)], axis=-1)
         second_pn_out = self._mlp([self.Ca] * 2, "second_pointnet")(fused, train)
-        node_a_features, _ = node_pool_max(second_pn_out, min_idx, Ma)
+        node_a_features, _ = node_pool_max(second_pn_out, min_idx, Ma,
+                                           has_points=has_points)
 
         # -- kNN fusion onto node_b (GeneralKNNFusionModule) ----------------
         node_b_features = self._knn_fusion(node_b, cluster_mean,
@@ -96,7 +99,8 @@ class PCEncoder(nn.Module):
 
         return PCEncoderOut(pc_centers, cluster_mean, min_k_idx,
                             first_pn_out, second_pn_out,
-                            node_a_features, node_b_features, global_feature)
+                            node_a_features, node_b_features, global_feature,
+                            min_k_d2=min_k_d2)
 
     def _knn_fusion(self, query, database, database_features, train):
         """query (B,M,3), database (B,Md,3), features (B,Md,C) -> (B,M,Cb)."""
