@@ -217,6 +217,81 @@ def test_nuscenes_loader_with_fake_backend(rng):
     _check_sample(ld[0], cfg)
 
 
+class FakeNuscDevkit:
+    """nuscenes-devkit shaped fake: .scene list + .get(table, token).
+
+    Ego drives along +x at 1 m per lidar frame; cameras are sampled at the
+    same positions.  Exercises the FULL pairing path of
+    ``build_dataset_info`` (``make_datasets.py:79-155``).
+    """
+
+    def __init__(self, scenes, n_frames=12):
+        from deepi2p_tpu.data.nuscenes import CAMERA_NAMES
+        self.scene = []
+        self._tables = {"sample": {}, "sample_data": {}, "ego_pose": {}}
+        for si, (token, desc) in enumerate(scenes):
+            first_sample = f"s{si}"
+            self.scene.append({"token": token, "description": desc,
+                               "first_sample_token": first_sample})
+            data = {}
+            for name in ["LIDAR_TOP"] + list(CAMERA_NAMES):
+                chain = [f"{name}-{si}-{i}" for i in range(n_frames)]
+                for i, tok in enumerate(chain):
+                    self._tables["sample_data"][tok] = {
+                        "token": tok,
+                        "ego_pose_token": f"ep-{si}-{i}",
+                        "next": chain[i + 1] if i + 1 < n_frames else "",
+                    }
+                    self._tables["ego_pose"][f"ep-{si}-{i}"] = {
+                        "translation": [float(i), 0.0, 0.0]}
+                data[name] = chain[0]
+            self._tables["sample"][first_sample] = {"data": data}
+
+    def get(self, table, token):
+        return self._tables[table][token]
+
+
+def test_nuscenes_build_dataset_info_pairing(tmp_path):
+    import pickle
+    from deepi2p_tpu.data.prep.nuscenes_prep import (
+        build_dataset_info, TEST_NIGHT_SCENE_TOKENS, is_day_scene)
+
+    night_tok = next(iter(TEST_NIGHT_SCENE_TOKENS))
+    nusc = FakeNuscDevkit([
+        ("day-scene", "Sunny drive"),
+        (night_tok, "Looks sunny but is on the hardcoded night list"),
+        ("kw-night", "Night drive in the rain"),
+    ])
+    assert is_day_scene(nusc.scene[0])
+    assert not is_day_scene(nusc.scene[1])      # explicit token exclusion
+    assert not is_day_scene(nusc.scene[2])      # description keyword
+
+    out = str(tmp_path / "dataset_info.list")
+    ds = build_dataset_info(nusc, max_translation=2.5, frame_skip=2,
+                            out_path=out)
+    # only the day scene, every 2nd of 12 lidar frames
+    assert len(ds) == 6
+    assert all(tok.startswith("LIDAR_TOP-0-") for tok, _ in ds)
+    lidar_tok, nearby = ds[1]                   # lidar frame i=2, x=2.0
+    assert lidar_tok == "LIDAR_TOP-0-2"
+    # nearby cameras: |x_cam - 2.0| < 2.5 -> frames 0..4
+    assert nearby["CAM_FRONT"] == [f"CAM_FRONT-0-{i}" for i in range(5)]
+    with open(out, "rb") as f:
+        assert pickle.load(f) == ds
+
+
+def test_detect_night_scene():
+    from deepi2p_tpu.data.prep.nuscenes_prep import detect_night_scene
+    dark = np.full((100, 100), 40, np.uint8)
+    assert detect_night_scene(dark)
+    day = np.full((100, 100), 160, np.uint8)
+    assert not detect_night_scene(day)
+    # dark image with large bright area (reference: white_area >= 10%)
+    lit = np.full((100, 100), 40, np.uint8)
+    lit[:20] = 250
+    assert not detect_night_scene(lit)
+
+
 def test_remove_ego_points():
     pc = np.array([[0.0, 0.0, 0.0], [0.5, 1.0, 2.0], [5.0, 0.0, 0.0]],
                   np.float32)
