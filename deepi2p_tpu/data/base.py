@@ -45,22 +45,63 @@ def crop_K(K: np.ndarray, dx: float, dy: float) -> np.ndarray:
     return Kc
 
 
+_REDUCED_DECODE = {0.5: "IMREAD_REDUCED_COLOR_2",
+                   0.25: "IMREAD_REDUCED_COLOR_4",
+                   0.125: "IMREAD_REDUCED_COLOR_8"}
+
+
+def load_image(path: str, cfg: Config):
+    """jpg/png decode, at reduced resolution when ``img_scale`` is a power
+    of 1/2 and the crop rows stay integral — the decoder then downscales in
+    the DCT domain, ~4x faster than full decode + resize (the single most
+    expensive host op at full resolution).
+
+    Returns (img RGB uint8, pre_scaled: bool).
+    """
+    import cv2
+    s = cfg.img_scale
+    if (s in _REDUCED_DECODE
+            and float(cfg.crop_original_top_rows * s).is_integer()
+            and float(cfg.crop_original_bottom_rows * s).is_integer()):
+        flag = getattr(cv2, _REDUCED_DECODE[s])
+        img = cv2.imread(path, flag)
+        if img is not None:
+            return cv2.cvtColor(img, cv2.COLOR_BGR2RGB), True
+    return cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB), False
+
+
 def process_image(img: np.ndarray, K: np.ndarray, cfg: Config, *,
-                  train: bool, rng: np.random.Generator):
+                  train: bool, rng: np.random.Generator,
+                  pre_scaled: bool = False):
     """top/bottom-crop -> scale -> random (train) / center crop to (H, W).
+
+    ``pre_scaled`` means the decoder already applied ``img_scale`` (see
+    :func:`load_image`); the crop offsets are then applied in scaled
+    coordinates — the same physical crop window.
 
     Returns (img float32 HxWx3 in [0,255], K adjusted).
     """
     import cv2
-    if cfg.crop_original_top_rows:
-        img = img[cfg.crop_original_top_rows:]
-        K = crop_K(K, 0, cfg.crop_original_top_rows)
-    if cfg.crop_original_bottom_rows:
-        img = img[:img.shape[0] - cfg.crop_original_bottom_rows]
-    img = cv2.resize(img, (int(round(img.shape[1] * cfg.img_scale)),
-                           int(round(img.shape[0] * cfg.img_scale))),
-                     interpolation=cv2.INTER_LINEAR)
-    K = scale_K(K, cfg.img_scale)
+    s = cfg.img_scale
+    if pre_scaled:
+        top = int(round(cfg.crop_original_top_rows * s))
+        bot = int(round(cfg.crop_original_bottom_rows * s))
+        if top:
+            img = img[top:]
+        if bot:
+            img = img[:img.shape[0] - bot]
+        K = scale_K(K, s)
+        K = crop_K(K, 0, top)
+    else:
+        if cfg.crop_original_top_rows:
+            img = img[cfg.crop_original_top_rows:]
+            K = crop_K(K, 0, cfg.crop_original_top_rows)
+        if cfg.crop_original_bottom_rows:
+            img = img[:img.shape[0] - cfg.crop_original_bottom_rows]
+        img = cv2.resize(img, (int(round(img.shape[1] * s)),
+                               int(round(img.shape[0] * s))),
+                         interpolation=cv2.INTER_LINEAR)
+        K = scale_K(K, s)
     if train:
         dx = rng.integers(0, img.shape[1] - cfg.img_W + 1)
         dy = rng.integers(0, img.shape[0] - cfg.img_H + 1)

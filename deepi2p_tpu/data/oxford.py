@@ -111,9 +111,10 @@ class OxfordLoader:
         cam_ts = int(self.cam_ts[trav][cam_idx])
         img_path = os.path.join(self.root, trav, "stereo", "centre",
                                 f"{cam_ts}.jpg")
-        img = cv2.cvtColor(cv2.imread(img_path), cv2.COLOR_BGR2RGB)
+        img, pre_scaled = base.load_image(img_path, cfg)
         img, K = base.process_image(img, OXFORD_K.copy(), cfg,
-                                    train=self.mode == "train", rng=rng)
+                                    train=self.mode == "train", rng=rng,
+                                    pre_scaled=pre_scaled)
 
         # points (already in camera coords on disk) ---------------------
         lidar = ("lms_front_foreground" if cfg.is_remove_ground

@@ -58,6 +58,9 @@ class BatchLoader:
         task_q: queue.Queue = queue.Queue()
         out: Dict[int, Dict] = {}
         out_lock = threading.Condition()
+        next_bi = [0]              # next batch the consumer needs
+        stop = [False]             # consumer gone -> workers drain out
+        cap = self.prefetch + self.num_workers
         for bi, idxs in enumerate(batches):
             task_q.put((bi, idxs))
 
@@ -72,7 +75,7 @@ class BatchLoader:
             raise RuntimeError(f"8 consecutive sample failures near idx {i}")
 
         def worker():
-            while True:
+            while not stop[0]:
                 try:
                     bi, idxs = task_q.get_nowait()
                 except queue.Empty:
@@ -80,6 +83,13 @@ class BatchLoader:
                 samples = [fetch(int(i)) for i in idxs]
                 batch = collate(samples)
                 with out_lock:
+                    # backpressure: bounded ready-buffer, but never block
+                    # the batch the consumer is waiting for (deadlock-free)
+                    while (len(out) >= cap and bi != next_bi[0]
+                           and not stop[0]):
+                        out_lock.wait()
+                    if stop[0]:
+                        return
                     out[bi] = batch
                     out_lock.notify_all()
 
@@ -88,11 +98,20 @@ class BatchLoader:
         for t in threads:
             t.start()
 
-        for bi in range(len(batches)):
+        try:
+            for bi in range(len(batches)):
+                with out_lock:
+                    while bi not in out:
+                        out_lock.wait()
+                    batch = out.pop(bi)
+                    next_bi[0] = bi + 1
+                    out_lock.notify_all()
+                yield batch
+        finally:
+            # abandoned or exhausted iterator: release the workers
             with out_lock:
-                while bi not in out:
-                    out_lock.wait()
-                yield out.pop(bi)
+                stop[0] = True
+                out_lock.notify_all()
 
 
 def device_prefetch(iterator: Iterator[Dict[str, np.ndarray]],
