@@ -72,26 +72,38 @@ def evaluate_registration(data_dir: str, *, method: str = "frustum",
         for i, d in enumerate(dumps):
             P_gt_all[i] = d["P"]
     elif method == "icp":
-        # per-pair: depth-scale calibration + 60 random inits
-        # (``registration_icp.py:115-139,216-219``)
-        from ..register.icp import icp_random_init, calibrate_depth_scale
-        key = jax.random.PRNGKey(seed)
-        for i, (prefix, d) in enumerate(zip(prefixes, dumps)):
+        # batched: depth-scale calibration on host, then ONE dispatch of
+        # pairs x inits (``registration_icp.py:115-139,216-219``); pseudo
+        # clouds are padded to a common size with a far sentinel that can
+        # never win a nearest-neighbour race or count as an inlier.
+        from ..register.icp import icp_batch
+        field = "coarse_label" if use_labels else "coarse_pred"
+        pseudos = []
+        for prefix, d in zip(prefixes, dumps):
             pseudo = np.load(os.path.join(pseudo_dir,
                                           prefix + "_pc.npy")).T  # (M, 3)
-            pc = jnp.asarray(d["pc"], jnp.float32)
-            P_gt = jnp.asarray(d["P"], jnp.float32)
-            cam = pc @ P_gt[:3, :3].T + P_gt[:3, 3]
-            field = "coarse_label" if use_labels else "coarse_pred"
-            inside = jnp.asarray(d[field])
-            s = calibrate_depth_scale(cam[:, 2], inside,
-                                      jnp.asarray(pseudo[:, 2], jnp.float32))
-            key, sub = jax.random.split(key)
-            res = icp_random_init(pc, jnp.asarray(pseudo, jnp.float32) * s,
-                                  sub, n_inits=n_inits, max_iter=max_iter)
-            P_pred_all[i] = np.asarray(res.P)
-            cost_all[i] = float(res.fitness)
-            P_gt_all[i] = d["P"]
+            cam = d["pc"] @ d["P"][:3, :3].T + d["P"][:3, 3]
+            inside = d[field].astype(np.float32)
+            mean_gt = (np.sum(cam[:, 2] * inside)
+                       / max(np.sum(inside), 1.0))
+            s = mean_gt / max(float(np.mean(pseudo[:, 2])), 1e-6)
+            pseudos.append(pseudo.astype(np.float32) * s)
+        M_max = max(p.shape[0] for p in pseudos)
+        target = np.full((len(dumps), M_max, 3), 1e6, np.float32)
+        for i, p in enumerate(pseudos):
+            target[i, :p.shape[0]] = p
+        for start in range(0, len(dumps), batch_size):
+            chunk = dumps[start:start + batch_size]
+            pc = jnp.asarray(np.stack([d["pc"] for d in chunk]), jnp.float32)
+            res = icp_batch(pc,
+                            jnp.asarray(target[start:start + len(chunk)]),
+                            jax.random.fold_in(jax.random.PRNGKey(seed),
+                                               start),
+                            n_inits=n_inits, max_iter=max_iter)
+            P_pred_all[start:start + len(chunk)] = np.asarray(res.P)
+            cost_all[start:start + len(chunk)] = np.asarray(res.fitness)
+            for i, d in enumerate(chunk):
+                P_gt_all[start + i] = d["P"]
     else:
         key = jax.random.PRNGKey(seed)
         for start in range(0, len(dumps), batch_size):

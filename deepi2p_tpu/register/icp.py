@@ -108,12 +108,7 @@ def flatten_2d(P: jax.Array) -> jax.Array:
     return P.at[1, 2].set(0.0).at[2, 1].set(0.0)
 
 
-def icp_random_init(source, target, rng, *, n_inits: int = 60,
-                    threshold: float = 1.0, max_iter: int = 30,
-                    t_amplitude=(5.0, 0.0, 10.0),
-                    ry_amplitude: float = jnp.pi) -> ICPResult:
-    """60 random (tx, tz, ry) inits, best fitness, 2D-flattened
-    (``registration_icp.py:115-139``)."""
+def _draw_inits(rng, n_inits, t_amplitude, ry_amplitude):
     k1, k2 = jax.random.split(rng)
     ry = jax.random.uniform(k1, (n_inits,), minval=-ry_amplitude,
                             maxval=ry_amplitude) * 2.0
@@ -125,7 +120,16 @@ def icp_random_init(source, target, rng, *, n_inits: int = 60,
         R = jnp.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
         return jnp.eye(4).at[:3, :3].set(R).at[:3, 3].set(t)
 
-    P_inits = jax.vmap(make_P)(ry, t)
+    return jax.vmap(make_P)(ry, t)
+
+
+def icp_random_init(source, target, rng, *, n_inits: int = 60,
+                    threshold: float = 1.0, max_iter: int = 30,
+                    t_amplitude=(5.0, 0.0, 10.0),
+                    ry_amplitude: float = jnp.pi) -> ICPResult:
+    """60 random (tx, tz, ry) inits, best fitness, 2D-flattened
+    (``registration_icp.py:115-139``)."""
+    P_inits = _draw_inits(rng, n_inits, t_amplitude, ry_amplitude)
     res = jax.vmap(lambda P0: icp_point_to_point(
         source, target, P0, threshold=threshold, max_iter=max_iter))(P_inits)
     best = jnp.argmax(res.fitness)
@@ -134,3 +138,50 @@ def icp_random_init(source, target, rng, *, n_inits: int = 60,
     ok = fit > 0.001
     P_best = jnp.where(ok, P_best, jnp.eye(4))
     return ICPResult(P=P_best, fitness=fit)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_inits", "max_iter", "init_chunk"))
+def icp_batch(source, target, rng, *, n_inits: int = 60,
+              threshold: float = 1.0, max_iter: int = 30,
+              t_amplitude=(5.0, 0.0, 10.0), ry_amplitude: float = jnp.pi,
+              init_chunk: int = 8) -> ICPResult:
+    """Batched multi-init ICP: ONE dispatch for all pairs x inits.
+
+    Replaces the per-pair python loop (each pair paid a dispatch and — with
+    varying pseudo-cloud sizes — a retrace).  Pairs and init-groups run
+    under ``lax.map`` (sequential, so the (N, M) distance matrices of only
+    ``init_chunk`` problems are ever live); the inits inside a group are
+    ``vmap``-ed.
+
+    Args:
+      source: (B, N, 3); target: (B, M, 3) pseudo clouds, padded to a common
+        M with a far sentinel (e.g. 1e6) — sentinel points are never nearest
+        neighbours and never inliers, so padding does not bias the solution.
+      rng: PRNGKey; each pair gets a folded key.
+    Returns:
+      ICPResult with leading batch axis: P (B, 4, 4), fitness (B,).
+    """
+    B = source.shape[0]
+    n_round = -(-n_inits // init_chunk) * init_chunk
+    keys = jax.random.split(rng, B)
+
+    def solve_pair(args):
+        s, t, k = args
+        P_inits = _draw_inits(k, n_round, t_amplitude, ry_amplitude)
+
+        def run_group(Ps):
+            return jax.vmap(lambda P0: icp_point_to_point(
+                s, t, P0, threshold=threshold, max_iter=max_iter))(Ps)
+
+        res = jax.lax.map(run_group,
+                          P_inits.reshape(-1, init_chunk, 4, 4))
+        fit = res.fitness.reshape(-1)
+        P = res.P.reshape(-1, 4, 4)
+        best = jnp.argmax(fit)
+        P_best = flatten_2d(P[best])
+        ok = fit[best] > 0.001
+        return ICPResult(P=jnp.where(ok, P_best, jnp.eye(4)),
+                         fitness=fit[best])
+
+    return jax.lax.map(solve_pair, (source, target, keys))

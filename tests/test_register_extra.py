@@ -139,6 +139,73 @@ def test_icp_random_init_and_flatten(rng):
     assert float(res.fitness) > 0.5
 
 
+def test_icp_batch_padded_targets(rng):
+    """icp_batch: one dispatch for pairs x inits; far-sentinel padding of
+    differently-sized targets must not change the solution."""
+    from deepi2p_tpu.register.icp import icp_batch
+    B, N = 2, 192
+    srcs, tgts, P_wants = [], [], []
+    for b in range(B):
+        src = rng.uniform(-10, 10, (N, 3)).astype(np.float32)
+        ry = 0.15 + 0.1 * b
+        c, s = np.cos(ry), np.sin(ry)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        t = np.array([0.5 * (b + 1), 0.0, -0.7], np.float32)
+        srcs.append(src)
+        tgts.append(src @ R.T + t)
+        P = np.eye(4, dtype=np.float32)
+        P[:3, :3] = R
+        P[:3, 3] = t
+        P_wants.append(P)
+    # pad target 0 with sentinel points (simulating unequal pseudo sizes)
+    M = N + 64
+    target = np.full((B, M, 3), 1e6, np.float32)
+    for b in range(B):
+        target[b, :N] = tgts[b]
+    res = icp_batch(jnp.asarray(np.stack(srcs)), jnp.asarray(target),
+                    jax.random.PRNGKey(0), n_inits=16, max_iter=25,
+                    t_amplitude=(1.5, 0.0, 1.5), ry_amplitude=0.2)
+    assert res.P.shape == (B, 4, 4) and res.fitness.shape == (B,)
+    for b in range(B):
+        rte, rre = pose_diff_np(np.asarray(res.P[b]), P_wants[b])
+        assert rte < 0.5 and rre < 5.0, (b, rte, rre)
+        assert float(res.fitness[b]) > 0.5
+
+
+def test_icp_harness_end_to_end(tmp_path, rng):
+    """evaluate_registration(method='icp') over a dump + pseudo clouds of
+    varying sizes: batched path, scale calibration, RTE/RRE summary."""
+    import os
+    from deepi2p_tpu.eval.dump import save_sample_dump
+    from deepi2p_tpu.eval.harness import evaluate_registration
+
+    out = str(tmp_path / "dump")
+    pdir = str(tmp_path / "pseudo")
+    os.makedirs(out)
+    os.makedirs(pdir)
+    for i in range(3):
+        pc = rng.uniform(-10, 10, (256, 3)).astype(np.float32)
+        ry = rng.uniform(-0.1, 0.1)
+        c, s = np.cos(ry), np.sin(ry)
+        P = np.eye(4, dtype=np.float32)
+        P[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        P[:3, 3] = [rng.uniform(-0.5, 0.5), 0.0, rng.uniform(-0.5, 0.5)]
+        cam = pc @ P[:3, :3].T + P[:3, 3]
+        inside = (cam[:, 2] > 0).astype(np.int64)
+        zeros = np.zeros(256, np.int64)
+        save_sample_dump(out, f"{i:06d}_00", pc=pc, coarse_pred=inside,
+                         coarse_label=inside, fine_pred=zeros,
+                         fine_label=zeros, K=K_np, P=P[:3])
+        m = 200 + i * 24                       # varying pseudo sizes
+        np.save(os.path.join(pdir, f"{i:06d}_00_pc.npy"), cam[:m].T)
+
+    summ = evaluate_registration(out, method="icp", H=H, W=W,
+                                 n_inits=24, max_iter=25,
+                                 pseudo_dir=pdir, batch_size=3)
+    assert summ["num_pairs"] == 3
+    assert summ["success_rate"] >= 1.0 / 3.0
+
+
 def test_depth_to_pointcloud_and_scale(rng):
     depth = jnp.full((16, 24), 5.0)
     K = jnp.asarray([[10.0, 0, 12], [0, 10.0, 8], [0, 0, 1]])
