@@ -18,11 +18,14 @@ Cost parity with the reference (2D mode, params ``[ry, tx, ty, tz]``;
 3D mode, params ``[rx, ry, rz, tx, ty, tz]``):
 
   * inside-labelled point (3 residuals, ``registration_2d.hpp:93-129``):
-    ``[relu(-px) + relu(px - (W-1)), relu(-py) + relu(py - (H-1)),
-       relu(-z) * 100]``
+    ``[relu(-px) + relu(px - W1), relu(-py) + relu(py - H1),
+       relu(-z) * 100]`` with ``W1 = W-1, H1 = H-1`` — the functor's W/H
+    slots receive ``H_1 = H-1, W_1 = W-1`` (``registration.cpp:21-22``);
+    replicated exactly for cost parity (oracle-tested in
+    ``tests/test_frustum_oracle.py``).
   * outside-labelled point (1 residual, ``registration_2d.hpp:21-69``):
     ``(xd + yd) * 1[z>0] * 1[xd>0] * 1[yd>0]`` with
-    ``xd = (W-1)/2 - |px - (W-1)/2|`` (nonzero only when the point wrongly
+    ``xd = W1/2 - |px - W1/2|`` (nonzero only when the point wrongly
     projects inside).  The reference's ``fmax(d,0)/d`` 0/1 gates have zero
     derivative a.e., so hard ``where`` gates replicate the Ceres autodiff.
   * Cauchy robustifier ``rho(s) = log(1+s)`` per residual block
@@ -90,6 +93,8 @@ def _residuals_t(theta, pts_t, labels, valid, K, H, W, is_2d: bool):
     z = p[2]
     px = fx * p[0] / z + cx
     py = fy * p[1] / z + cy
+    # reference passes H_1 = H-1, W_1 = W-1 into the residual functors
+    # (registration.cpp:21-22,95-118)
     H1, W1 = H - 1.0, W - 1.0
 
     # inside-labelled: pulled toward the frame, z pushed positive
@@ -281,8 +286,7 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng,
     t_ub = jnp.asarray(t_ub_t)
 
     if backend == "auto":
-        backend = "pallas" if (is_2d and jax.default_backend() == "tpu") \
-            else "xla"
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     if backend == "pallas":
         from .frustum_pallas import I_BLK
@@ -305,9 +309,10 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng,
     labels_s = pred_inside.astype(pc.dtype)[:, ::solver_stride]
     valid_s = valid[:, ::solver_stride]
 
-    if backend == "pallas" and is_2d:
-        # one kernel launch runs every init to completion; successive
-        # halving is counterproductive here (launch cost >> iteration cost)
+    if backend == "pallas":
+        # one kernel launch runs every init to completion (2D and 3D modes;
+        # successive halving is counterproductive here — launch cost >>
+        # iteration cost)
         from .frustum_pallas import lm_solve_pallas
         thetas, costs = lm_solve_pallas(pc_s, labels_s, valid_s, K, theta0,
                                         t_lb_t, t_ub_t, H=H, W=W,

@@ -159,6 +159,7 @@ def lm_solve_fast(pts, labels, valid, K, theta0, t_lb, t_ub, *,
     fy = K[:, None, 1:2, 1]
     cx = K[:, None, 0:1, 2]
     cy = K[:, None, 1:2, 2]
+    # reference passes H_1 = H-1, W_1 = W-1 (registration.cpp:21-22)
     H1, W1 = float(H - 1), float(W - 1)
 
     def clip_t(theta):

@@ -10,10 +10,14 @@ launch and every HBM round trip of the (inits, N) intermediates — the
 dominant costs on launch-bound backends, and a large HBM-traffic saving on
 real TPUs.
 
-Mosaic-specific structure: no small 3D tensors and no gathers — the 4x4
-normal matrix lives as 10 upper-triangular (I_BLK, 1) component vectors and
-the damped Cholesky solve is unrolled over components; all intermediate
-arrays are 2D with the point tile on the lane axis.
+Mosaic-specific structure: no small 3D tensors and no gathers — the PxP
+normal matrix (P=4 for the 2D [ry, t] mode, P=6 for the 3D angle-axis
+mode, ``registration_3d.hpp``) lives as P(P+1)/2 upper-triangular
+(I_BLK, 1) component vectors and the damped Cholesky solve is unrolled over
+components; all intermediate arrays are 2D with the point tile on the lane
+axis.  The 2D mode uses the hand-derived analytic Jacobian; the 3D mode
+linearises the residual map with ``jax.linearize`` (1 primal + 6 tangent
+passes, still all-elementwise).
 
 Semantics match ``frustum_fast.lm_solve_fast`` (same residuals / Cauchy
 weights / LM acceptance rule, see that module's derivation docstring);
@@ -32,8 +36,35 @@ I_BLK = 8            # inits per grid program (one sublane tile)
 POINT_TILE = 1024    # lane-axis tile for the accumulation loops
 
 
+def _residual_rows(p0, p1, p2, lab, val, fx, fy, cx, cy, H1, W1):
+    """Camera-frame points -> the three residual rows (I_BLK, T).
+
+    Shared by the 2D analytic path and the 3D linearised path; the
+    expressions are jvp-differentiable (a.e. derivatives match Ceres
+    autodiff, see frustum_fast.py derivation docstring)."""
+    inv_z = 1.0 / p2
+    px = fx * p0 * inv_z + cx
+    py = fy * p1 * inv_z + cy
+
+    r0_in = jnp.maximum(-px, 0.0) + jnp.maximum(px - W1, 0.0)
+    r1_in = jnp.maximum(-py, 0.0) + jnp.maximum(py - H1, 0.0)
+    r2_in = jnp.maximum(-p2, 0.0) * 100.0
+
+    xd = W1 * 0.5 - jnp.abs(px - W1 * 0.5)
+    yd = H1 * 0.5 - jnp.abs(py - H1 * 0.5)
+    gate = ((p2 > 0) & (xd > 0) & (yd > 0)).astype(px.dtype)
+    r_out = (xd + yd) * gate
+
+    is_in = lab > 0.5
+    r0 = jnp.where(is_in, r0_in, r_out) * val
+    r1 = jnp.where(is_in, r1_in, 0.0) * val
+    r2 = jnp.where(is_in, r2_in, 0.0) * val
+    return r0, r1, r2
+
+
 def _tile_terms(theta, xs, ys, zs, lab, val, fx, fy, cx, cy, H1, W1):
-    """Residual rows, Jacobian rows and Cauchy weights for one point tile.
+    """Residual rows, Jacobian rows and Cauchy weights for one point tile
+    (2D mode, analytic Jacobian).
 
     theta (I_BLK, 4); xs/ys/zs/lab/val (1, T); scalars fx..cy.
     Returns (r0, r1, r2, J0, J1, J2, w, logcost) with r*/w/logcost
@@ -90,18 +121,79 @@ def _tile_terms(theta, xs, ys, zs, lab, val, fx, fy, cx, cy, H1, W1):
     return r0, r1, r2, J0, J1, J2, w, logcost
 
 
-_TRI = [(i, j) for i in range(4) for j in range(i, 4)]
+def _rot_entries(theta):
+    """Angle-axis columns (I_BLK, >=3) -> 9 rotation entries (I_BLK, 1),
+    row-major; smooth first-order fallback near zero (frustum.rodrigues)."""
+    rx, ry, rz = theta[:, 0:1], theta[:, 1:2], theta[:, 2:3]
+    t2 = rx * rx + ry * ry + rz * rz
+    th = jnp.sqrt(t2 + 1e-24)
+    s, c = jnp.sin(th), jnp.cos(th)
+    kx, ky, kz = rx / th, ry / th, rz / th
+    oc = 1.0 - c
+    big = t2 > 1e-16
+    one = jnp.ones_like(rx)
+
+    def sel(a, b):
+        return jnp.where(big, a, b)
+
+    return (sel(c + kx * kx * oc, one),
+            sel(kx * ky * oc - kz * s, -rz),
+            sel(kx * kz * oc + ky * s, ry),
+            sel(ky * kx * oc + kz * s, rz),
+            sel(c + ky * ky * oc, one),
+            sel(ky * kz * oc - kx * s, -rx),
+            sel(kz * kx * oc - ky * s, -ry),
+            sel(kz * ky * oc + kx * s, rx),
+            sel(c + kz * kz * oc, one))
 
 
-def _chol_solve10(H, g, lam):
+def _tile_terms_3d(theta, xs, ys, zs, lab, val, fx, fy, cx, cy, H1, W1):
+    """6-DoF variant: angle-axis rotation (``registration_3d.hpp:40-44``),
+    Jacobian via ``jax.linearize`` of the per-tile residual map (one primal
+    pass + 6 cheap tangent passes; everything stays elementwise 2D, so the
+    Mosaic constraints hold).
+
+    theta (I_BLK, 6).  Returns the same tuple shape as :func:`_tile_terms`
+    with 6-element Jacobian lists.
+    """
+    def rows(th):
+        R = _rot_entries(th)
+        tx, ty, tz = th[:, 3:4], th[:, 4:5], th[:, 5:6]
+        p0 = R[0] * xs + R[1] * ys + R[2] * zs + tx
+        p1 = R[3] * xs + R[4] * ys + R[5] * zs + ty
+        p2 = R[6] * xs + R[7] * ys + R[8] * zs + tz
+        return _residual_rows(p0, p1, p2, lab, val, fx, fy, cx, cy, H1, W1)
+
+    (r0, r1, r2), lin = jax.linearize(rows, theta)
+    J0, J1, J2 = [], [], []
+    for j in range(6):
+        cols = [jnp.ones_like(theta[:, :1]) if k == j
+                else jnp.zeros_like(theta[:, :1]) for k in range(6)]
+        d0, d1, d2 = lin(jnp.concatenate(cols, axis=-1))
+        J0.append(d0)
+        J1.append(d1)
+        J2.append(d2)
+
+    s_blk = r0 * r0 + r1 * r1 + r2 * r2
+    w = val / (1.0 + s_blk)
+    logcost = 0.5 * jnp.log1p(s_blk) * val
+    return r0, r1, r2, J0, J1, J2, w, logcost
+
+
+def _tri(P):
+    return [(i, j) for i in range(P) for j in range(i, P)]
+
+
+def _chol_solve(H, g, lam, P):
     """Damped SPD solve with H as dict {(i,j): (I_BLK,1)} (upper tri),
-    g list of four (I_BLK,1), lam (I_BLK,1) -> delta list of four."""
+    g list of P (I_BLK,1), lam (I_BLK,1) -> delta list of P (unrolled
+    Cholesky — no small matrices, Mosaic-friendly)."""
     A = dict(H)
-    for i in range(4):
+    for i in range(P):
         A[(i, i)] = A[(i, i)] * (1.0 + lam) + 1e-9
 
     L = {}
-    for i in range(4):
+    for i in range(P):
         for j in range(i + 1):
             s = A[(j, i)]
             for k in range(j):
@@ -110,16 +202,16 @@ def _chol_solve10(H, g, lam):
                 L[(i, j)] = jnp.sqrt(jnp.maximum(s, 1e-20))
             else:
                 L[(i, j)] = s / L[(j, j)]
-    y = [None] * 4
-    for i in range(4):
+    y = [None] * P
+    for i in range(P):
         s = g[i]
         for k in range(i):
             s = s - L[(i, k)] * y[k]
         y[i] = s / L[(i, i)]
-    x = [None] * 4
-    for i in reversed(range(4)):
+    x = [None] * P
+    for i in reversed(range(P)):
         s = y[i]
-        for k in range(i + 1, 4):
+        for k in range(i + 1, P):
             s = s - L[(k, i)] * x[k]
         x[i] = s / L[(i, i)]
     return x
@@ -127,17 +219,21 @@ def _chol_solve10(H, g, lam):
 
 def _kernel(pts_ref, labval_ref, kparams_ref, theta0_ref,
             theta_out_ref, cost_out_ref, *, n_tiles: int, max_iter: int,
-            H1: float, W1: float, t_lb, t_ub):
+            H1: float, W1: float, t_lb, t_ub, n_params: int):
     bprog = pl.program_id(0)
     fx = kparams_ref[bprog, 0]
     fy = kparams_ref[bprog, 1]
     cx = kparams_ref[bprog, 2]
     cy = kparams_ref[bprog, 3]
+    P = n_params
+    t_off = P - 3                      # 1 (2D: [ry, t]) or 3 (3D: [aa, t])
+    tri = _tri(P)
+    terms = _tile_terms if P == 4 else _tile_terms_3d
 
     def clip_t(theta):
-        cols = [theta[:, 0:1]]
+        cols = [theta[:, i:i + 1] for i in range(t_off)]
         for i in range(3):
-            cols.append(jnp.clip(theta[:, i + 1:i + 2],
+            cols.append(jnp.clip(theta[:, t_off + i:t_off + i + 1],
                                  float(t_lb[i]), float(t_ub[i])))
         return jnp.concatenate(cols, axis=-1)
 
@@ -154,29 +250,29 @@ def _kernel(pts_ref, labval_ref, kparams_ref, theta0_ref,
         def body(t, acc):
             Hacc, gacc, cacc = acc
             xs, ys, zs, lab, val = tile_views(t)
-            r0, r1, r2, J0, J1, J2, w, logcost = _tile_terms(
+            r0, r1, r2, J0, J1, J2, w, logcost = terms(
                 theta, xs, ys, zs, lab, val, fx, fy, cx, cy, H1, W1)
             Hnew = {
                 ij: Hacc[ij] + jnp.sum(
                     w * (J0[ij[0]] * J0[ij[1]] + J1[ij[0]] * J1[ij[1]]
                          + J2[ij[0]] * J2[ij[1]]),
                     axis=-1, keepdims=True)
-                for ij in _TRI}
+                for ij in tri}
             gnew = [gacc[k] + jnp.sum(
                         w * (J0[k] * r0 + J1[k] * r1 + J2[k] * r2),
                         axis=-1, keepdims=True)
-                    for k in range(4)]
+                    for k in range(P)]
             cnew = cacc + jnp.sum(logcost, axis=-1, keepdims=True)
             return Hnew, gnew, cnew
         z = lambda: jnp.zeros((I_BLK, 1))
-        init = ({ij: z() for ij in _TRI}, [z() for _ in range(4)], z())
+        init = ({ij: z() for ij in tri}, [z() for _ in range(P)], z())
         return jax.lax.fori_loop(0, n_tiles, body, init)
 
     def total_cost(theta):
         def body(t, acc):
             xs, ys, zs, lab, val = tile_views(t)
-            logcost = _tile_terms(theta, xs, ys, zs, lab, val,
-                                  fx, fy, cx, cy, H1, W1)[-1]
+            logcost = terms(theta, xs, ys, zs, lab, val,
+                            fx, fy, cx, cy, H1, W1)[-1]
             return acc + jnp.sum(logcost, axis=-1, keepdims=True)
         return jax.lax.fori_loop(0, n_tiles, body, jnp.zeros((I_BLK, 1)))
 
@@ -187,7 +283,7 @@ def _kernel(pts_ref, labval_ref, kparams_ref, theta0_ref,
     def lm_iter(_, state):
         theta, lam, cost = state
         Hm, g, _ = accum_normal(theta)
-        delta = _chol_solve10(Hm, g, lam)
+        delta = _chol_solve(Hm, g, lam, P)
         theta_new = clip_t(theta - jnp.concatenate(delta, axis=-1))
         new_cost = total_cost(theta_new)
         accept = new_cost < cost
@@ -208,16 +304,19 @@ def _kernel(pts_ref, labval_ref, kparams_ref, theta0_ref,
 def lm_solve_pallas(pts, labels, valid, K, theta0, t_lb, t_ub, *,
                     H: int, W: int, max_iter: int = 16,
                     interpret: bool = False):
-    """Drop-in replacement for ``lm_solve_fast`` (2D mode).
+    """Drop-in replacement for ``lm_solve_fast`` / ``lm_solve``.
 
     Args:
-      pts (B, N, 3); labels/valid (B, N); K (B, 3, 3); theta0 (B, I, 4)
-      with I a multiple of ``I_BLK``; t_lb/t_ub static python tuples.
+      pts (B, N, 3); labels/valid (B, N); K (B, 3, 3); theta0 (B, I, P)
+      with I a multiple of ``I_BLK`` and P = 4 (2D: [ry, t],
+      ``registration_2d.hpp``) or 6 (3D: [angle-axis, t],
+      ``registration_3d.hpp``); t_lb/t_ub static python tuples.
     Returns:
-      (theta (B, I, 4), cost (B, I)).
+      (theta (B, I, P), cost (B, I)).
     """
     B, N, _ = pts.shape
-    I = theta0.shape[1]
+    I, P = theta0.shape[1], theta0.shape[2]
+    assert P in (4, 6), f"theta0 must have 4 (2D) or 6 (3D) params, got {P}"
     pad = (-N) % POINT_TILE
     pts_t = jnp.moveaxis(pts, -1, 1)                       # (B, 3, N)
     labval = jnp.stack([labels, valid], axis=1)            # (B, 2, N)
@@ -232,9 +331,11 @@ def lm_solve_pallas(pts, labels, valid, K, theta0, t_lb, t_ub, *,
 
     kernel = functools.partial(
         _kernel, n_tiles=n_tiles, max_iter=max_iter,
+        # reference passes H_1 = H-1, W_1 = W-1 (registration.cpp:21-22)
         H1=float(H - 1), W1=float(W - 1),
         t_lb=tuple(float(v) for v in t_lb),
-        t_ub=tuple(float(v) for v in t_ub))
+        t_ub=tuple(float(v) for v in t_ub),
+        n_params=P)
 
     theta, cost = pl.pallas_call(
         kernel,
@@ -248,11 +349,11 @@ def lm_solve_pallas(pts, labels, valid, K, theta0, t_lb, t_ub, *,
             # equal to the full array; indexed by program_id in-kernel
             pl.BlockSpec((B, 4), lambda b, i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, I_BLK, 4), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, I_BLK, P), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, I_BLK, 4), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, I_BLK, P), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             # 4D with trailing dims (1, I_BLK) equal to the full array's
             # (tile-alignment rule holds for any I)
@@ -260,7 +361,7 @@ def lm_solve_pallas(pts, labels, valid, K, theta0, t_lb, t_ub, *,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, I, 4), jnp.float32),
+            jax.ShapeDtypeStruct((B, I, P), jnp.float32),
             jax.ShapeDtypeStruct((B, I // I_BLK, 1, I_BLK), jnp.float32),
         ),
         interpret=interpret,

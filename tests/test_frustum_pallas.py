@@ -83,6 +83,67 @@ def test_pallas_full_solve_recovers_pose(rng):
         assert rte < 2.0 and rre < 5.0, (b, rte, rre)
 
 
+def test_pallas_3d_matches_autodiff_lm_one_iteration(rng):
+    """3D (6-DoF) mode: one LM step matches the autodiff lm_solve tightly
+    (VERDICT r1 item 6 — the mega-kernel's angle-axis path)."""
+    from deepi2p_tpu.register.frustum import lm_solve
+    pc, labels, P = _problem(rng, 0.6, np.array([0.5, 0.0, 1.0], np.float32))
+    pts = jnp.asarray(pc[None])
+    lab = jnp.asarray(labels[None])
+    valid = jnp.ones_like(lab)
+    K = jnp.asarray(K_np[None])
+    theta0 = np.zeros((1, I_BLK, 6), np.float32)
+    theta0[0, :, :3] = rng.normal(size=(I_BLK, 3)) * 0.2
+    theta0[0, :, 3:] = rng.normal(size=(I_BLK, 3)) * np.array([1.0, 0.05, 1.0])
+    theta0 = jnp.asarray(theta0)
+
+    th_p, cost_p = lm_solve_pallas(pts, lab, valid, K, theta0,
+                                   T_LB, T_UB, H=H, W=W, max_iter=1,
+                                   interpret=True)
+    solve = jax.vmap(lambda th: lm_solve(
+        pts[0], lab[0], valid[0], K[0], th,
+        jnp.asarray(T_LB), jnp.asarray(T_UB),
+        H=H, W=W, max_iter=1, is_2d=False))
+    res = solve(theta0[0])
+    np.testing.assert_allclose(np.asarray(cost_p[0]), np.asarray(res.cost),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(th_p[0]), np.asarray(res.theta),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_3d_full_solve_recovers_pose(rng):
+    """Full 3D pallas solve from near-GT inits reaches the success
+    criterion on a genuinely 3-rotation problem."""
+    from scipy.spatial.transform import Rotation
+    n = 1500
+    th_az = rng.uniform(0, 2 * np.pi, n)
+    r = rng.uniform(5, 40, n)
+    pc = np.stack([r * np.cos(th_az), rng.uniform(-2, 2, n),
+                   r * np.sin(th_az)], -1).astype(np.float32)
+    aa_gt = np.array([0.05, 0.8, -0.04], np.float32)
+    t_gt = np.array([0.5, 0.0, 1.0], np.float32)
+    P = np.eye(4, dtype=np.float32)
+    P[:3, :3] = Rotation.from_rotvec(aa_gt).as_matrix()
+    P[:3, 3] = t_gt
+    pxpy, z = project_points(jnp.asarray(pc[None]), jnp.asarray(P[None, :3]),
+                             jnp.asarray(K_np[None]))
+    labels = np.asarray(coarse_labels(pxpy, z, H, W))[0].astype(np.float32)
+
+    theta0 = np.zeros((1, I_BLK, 6), np.float32)
+    theta0[0, :, :3] = aa_gt + rng.normal(0, 0.1, (I_BLK, 3))
+    theta0[0, :, 3] = t_gt[0] + rng.normal(0, 0.5, I_BLK)
+    theta0[0, :, 5] = t_gt[2] + rng.normal(0, 0.5, I_BLK)
+    th_p, cost_p = lm_solve_pallas(
+        jnp.asarray(pc[None]), jnp.asarray(labels[None]),
+        jnp.ones((1, n), jnp.float32), jnp.asarray(K_np[None]),
+        jnp.asarray(theta0), T_LB, T_UB, H=H, W=W, max_iter=32,
+        interpret=True)
+    bi = int(np.argmin(np.asarray(cost_p[0])))
+    P_est = np.asarray(theta_to_pose(th_p[0, bi], False), np.float64)
+    rte, rre = pose_diff_np(P_est, np.asarray(P, np.float64))
+    assert rte < 2.0 and rre < 5.0, (rte, rre)
+
+
 def test_pallas_padding_path(rng):
     """N not divisible by the point tile exercises the padding branch."""
     pc, labels, P = _problem(rng, 0.4, np.array([0.0, 0.0, 0.5], np.float32),
