@@ -79,12 +79,18 @@ def main():
     np.asarray(carry)  # sync warmup
 
     iters = 8
+    # two-deep software pipeline: forward(k) chains on solve(k-2)'s carry,
+    # solve(k) on forward(k)'s predictions — still a closed dependency
+    # chain (nothing can be skipped), but the host can enqueue the next
+    # forward while the solve executes, hiding the ~4 ms dispatch latency.
+    carry_a = carry                       # solve(k-1) carry
+    carry_b = jnp.zeros((), jnp.float32)  # solve(k-2) carry
     t0 = time.perf_counter()
     for _ in range(iters):
-        # data chain: forward <- last solve's carry, solve <- predictions
-        pred = fwd_exe(variables, batch, carry)
-        P, cost, carry = solve_exe(batch["pc"], pred, batch["K"], carry)
-    _ = np.asarray(carry)          # host fetch closes the dependency chain
+        pred = fwd_exe(variables, batch, carry_b)
+        carry_b = carry_a
+        P, cost, carry_a = solve_exe(batch["pc"], pred, batch["K"], carry_a)
+    _ = np.asarray(carry_a)        # host fetch closes the dependency chain
     dt = time.perf_counter() - t0
 
     regs_per_sec = cfg.batch_size * iters / dt

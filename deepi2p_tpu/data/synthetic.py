@@ -62,7 +62,25 @@ def synthetic_batch(cfg: Config, batch_size: int | None = None,
     K = np.tile(np.array([[f, 0, cfg.img_W / 2],
                           [0, f, cfg.img_H / 2],
                           [0, 0, 1]], np.float32), (B, 1, 1))
-    img = rng.uniform(0, 255, (B, cfg.img_H, cfg.img_W, 3)).astype(np.float32)
+    # Render the cloud into the camera (depth/intensity splat + noise):
+    # with an informative image the camera pose IS recoverable from the
+    # inputs, so training on synthetic data exercises the real
+    # cross-modal task, not just the machinery (a pure-noise image makes
+    # the coarse labels information-theoretically unpredictable).
+    img = rng.uniform(0, 60, (B, cfg.img_H, cfg.img_W, 3)).astype(np.float32)
+    for b in range(B):
+        cam = pc[b] @ P[b, :3, :3].T + P[b, :3, 3]
+        z = cam[:, 2]
+        front = z > 0.1
+        u = (K[b, 0, 0] * cam[:, 0] / np.where(front, z, 1.0)
+             + K[b, 0, 2]).astype(np.int32)
+        v = (K[b, 1, 1] * cam[:, 1] / np.where(front, z, 1.0)
+             + K[b, 1, 2]).astype(np.int32)
+        m = front & (u >= 0) & (u < cfg.img_W) & (v >= 0) & (v < cfg.img_H)
+        depth_c = np.clip(255.0 * 5.0 / np.maximum(z, 1.0), 0, 255)
+        img[b, v[m], u[m], 0] = depth_c[m]
+        img[b, v[m], u[m], 1] = intensity[b, m, 0] * 255.0
+        img[b, v[m], u[m], 2] = 128.0
 
     return dict(pc=pc, intensity=intensity, sn=sn, node_a=node_a,
                 node_b=node_b, P=P.astype(np.float32), img=img, K=K)
