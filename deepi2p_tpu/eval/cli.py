@@ -33,6 +33,10 @@ def main(argv=None):
     d.add_argument("--out", required=True)
     d.add_argument("--batch-size", type=int, default=None)
     d.add_argument("--max-batches", type=int, default=None)
+    d.add_argument("--points", type=int, default=None)
+    d.add_argument("--nodes", type=int, default=None)
+    d.add_argument("--dump-len", type=int, default=16,
+                   help="synthetic dump set size")
 
     s = sub.add_parser("solve", help="registration over a dump directory")
     s.add_argument("--data-dir", required=True)
@@ -69,10 +73,18 @@ def main(argv=None):
     maker = {"oxford": config_mod.oxford, "kitti": config_mod.kitti,
              "nuscenes": config_mod.nuscenes,
              "synthetic": config_mod.tiny}[args.dataset]
-    cfg = maker(**({"batch_size": args.batch_size} if args.batch_size else {}))
+    overrides = {}
+    if args.batch_size:
+        overrides["batch_size"] = args.batch_size
+    if args.points:
+        overrides["input_pt_num"] = args.points
+    if args.nodes:
+        overrides["node_a_num"] = args.nodes
+        overrides["node_b_num"] = args.nodes
+    cfg = maker(**overrides)
 
     if args.dataset == "synthetic":
-        ds = SyntheticDataset(cfg, length=16, seed=7)
+        ds = SyntheticDataset(cfg, length=args.dump_len, seed=7)
     elif args.dataset == "oxford":
         from ..data import OxfordLoader
         ds = OxfordLoader(args.dataroot, "val_random_Ry", cfg)

@@ -62,6 +62,10 @@ def main(argv=None):
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--synthetic-len", type=int, default=32)
+    p.add_argument("--points", type=int, default=None,
+                   help="override cfg.input_pt_num (synthetic experiments)")
+    p.add_argument("--nodes", type=int, default=None,
+                   help="override node_a_num/node_b_num")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -74,6 +78,11 @@ def main(argv=None):
         overrides["batch_size"] = args.batch_size
     if args.coarse_only:
         overrides["is_fine_resolution"] = False
+    if args.points:
+        overrides["input_pt_num"] = args.points
+    if args.nodes:
+        overrides["node_a_num"] = args.nodes
+        overrides["node_b_num"] = args.nodes
     cfg = maker(**overrides)
     epochs = args.epochs if args.epochs is not None else cfg.epochs
 
