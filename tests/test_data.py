@@ -42,6 +42,45 @@ def test_color_jitter_ranges(rng):
     assert out.shape == img.shape and out.dtype == np.uint8
 
 
+def test_process_image_pre_scaled_equivalence(tmp_path, rng):
+    """The reduced-resolution decode path must produce the same crop window
+    and intrinsics as full decode + resize (same K, same geometry; pixel
+    values differ only by the resampling filter)."""
+    import cv2
+    from deepi2p_tpu import config
+    from deepi2p_tpu.data import base
+
+    cfg = config.Config(dataset="oxford", img_H=96, img_W=128, img_scale=0.5,
+                        crop_original_top_rows=20)
+    img = rng.integers(0, 255, (400, 512, 3)).astype(np.uint8)
+    path = str(tmp_path / "t.jpg")
+    cv2.imwrite(path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    K0 = np.array([[300.0, 0, 256], [0, 300.0, 200], [0, 0, 1]], np.float32)
+
+    loaded, pre_scaled = base.load_image(path, cfg)
+    assert pre_scaled and loaded.shape == (200, 256, 3)
+
+    out_a, K_a = base.process_image(loaded, K0.copy(), cfg, train=False,
+                                    rng=np.random.default_rng(0),
+                                    pre_scaled=True)
+    full = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+    out_b, K_b = base.process_image(full, K0.copy(), cfg, train=False,
+                                    rng=np.random.default_rng(0),
+                                    pre_scaled=False)
+    assert out_a.shape == out_b.shape == (cfg.img_H, cfg.img_W, 3)
+    np.testing.assert_allclose(K_a, K_b, atol=1e-4)
+    # same physical window: images correlate strongly (filters differ)
+    a = out_a.astype(np.float64).ravel()
+    b = out_b.astype(np.float64).ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.5, corr
+
+    # non-power-of-two scale falls back to full decode
+    cfg2 = cfg.replace(img_scale=0.4, img_H=80, img_W=100)
+    _, pre2 = base.load_image(path, cfg2)
+    assert not pre2
+
+
 def test_random_transform_rotation_valid(rng):
     P = random_transform(rng, (1, 2, 3), (0.1, math.pi, 0.1))
     R = P[:3, :3]
