@@ -43,12 +43,21 @@ def knn(query: jax.Array, database: jax.Array, k: int, *,
     speed lever: recall is ~0.95, which perturbs interpolation weights
     slightly, so the default stays exact for reference parity.
 
+    On TPU the exact path auto-dispatches to the fused Pallas kernel
+    (:mod:`deepi2p_tpu.ops.knn_pallas`) when the database fits VMEM —
+    same results, no HBM (B, N, M) materialisation, direct (db - q)^2
+    distances (the reference's own formulation).
+
     Args:
       query: (B, N, D); database: (B, M, D).
     Returns:
       (dist2, idx): both (B, N, k); idx int32 into the M axis, sorted by
       increasing distance.
     """
+    if exact:
+        from .knn_pallas import knn_pallas, pallas_eligible
+        if pallas_eligible(query, database, k):
+            return knn_pallas(query, database, k)
     d2 = pairwise_dist2(query, database)
     if not exact:
         return jax.lax.approx_min_k(d2, k)

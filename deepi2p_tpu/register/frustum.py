@@ -252,13 +252,34 @@ def initial_guess(pc, pred_inside):
     return ang, valid
 
 
-def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng,
+def sample_inits(rng, ang, n_inits: int, *,
+                 init_t_amplitude: float = 10.0,
+                 ry_sigma: float = 10.0 * jnp.pi / 180.0,
+                 is_2d: bool = True) -> jax.Array:
+    """Random initialisations for ONE pair (``registration_lsq.py:160-168``).
+
+    Args:
+      rng: per-pair PRNG key; ang: scalar yaw initial guess.
+    Returns:
+      theta0 (n_inits, 4) 2D / (n_inits, 6) 3D.
+    """
+    k1, k2 = jax.random.split(rng)
+    ry = ang + ry_sigma * jax.random.normal(k1, (n_inits,))
+    tz = jax.random.uniform(k2, (n_inits,), minval=-init_t_amplitude,
+                            maxval=init_t_amplitude)
+    zeros = jnp.zeros_like(ry)
+    if is_2d:
+        return jnp.stack([ry, zeros, zeros, tz], axis=-1)
+    return jnp.stack([zeros, ry, zeros, zeros, zeros, tz], axis=-1)
+
+
+def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng=None,
                         n_inits: int = 60, max_iter: int = 32,
                         init_t_amplitude: float = 10.0,
                         ry_sigma: float = 10.0 * jnp.pi / 180.0,
                         t_lb=(-5.0, -0.1, -10.0), t_ub=(5.0, 0.1, 10.0),
                         is_2d: bool = True, solver_stride: int = 1,
-                        backend: str = "auto"):
+                        backend: str = "auto", theta0=None):
     """Full multi-init solve for a batch of pairs.
 
     Mirrors ``solve_P_random_perturb`` (``registration_lsq.py:142-186``):
@@ -274,6 +295,11 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng,
     (``frustum_pallas``) and the XLA scan path elsewhere; 'pallas'/'xla'
     force one.
 
+    ``theta0`` (B, I, P) overrides the internal random-init draw (``rng``
+    then unused) — for deterministic replays and for data-parallel sharding
+    where per-pair inits must not depend on the batch layout
+    (:mod:`deepi2p_tpu.parallel.registration`).
+
     Args:
       pc (B,N,3), pred_inside (B,N) int, K (B,3,3).
     Returns:
@@ -288,22 +314,25 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng,
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
 
+    ang, valid = jax.vmap(initial_guess)(pc, pred_inside)  # (B,), (B,N)
+
+    if theta0 is None:
+        assert rng is not None, "need rng when theta0 is not given"
+        keys = jax.random.split(rng, B)
+        theta0 = jax.vmap(lambda k, a: sample_inits(
+            k, a, n_inits, init_t_amplitude=init_t_amplitude,
+            ry_sigma=ry_sigma, is_2d=is_2d))(keys, ang)     # (B, I, P)
+
     if backend == "pallas":
         from .frustum_pallas import I_BLK
         # pallas wants a multiple of I_BLK inits; extra inits only help
-        n_inits = -(-n_inits // I_BLK) * I_BLK
-
-    ang, valid = jax.vmap(initial_guess)(pc, pred_inside)  # (B,), (B,N)
-
-    k1, k2 = jax.random.split(rng)
-    ry = ang[:, None] + ry_sigma * jax.random.normal(k1, (B, n_inits))
-    tz = jax.random.uniform(k2, (B, n_inits), minval=-init_t_amplitude,
-                            maxval=init_t_amplitude)
-    zeros = jnp.zeros_like(ry)
-    if is_2d:
-        theta0 = jnp.stack([ry, zeros, zeros, tz], axis=-1)   # (B, I, 4)
-    else:
-        theta0 = jnp.stack([zeros, ry, zeros, zeros, zeros, tz], axis=-1)
+        # (pad by repeating the first init — never a new random draw, so a
+        # caller-provided theta0 stays layout-independent)
+        I = theta0.shape[1]
+        pad = (-I) % I_BLK
+        if pad:
+            theta0 = jnp.concatenate(
+                [theta0, jnp.repeat(theta0[:, :1], pad, axis=1)], axis=1)
 
     pc_s = pc[:, ::solver_stride]
     labels_s = pred_inside.astype(pc.dtype)[:, ::solver_stride]
@@ -326,8 +355,8 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng,
         thetas, costs, _ = lm_solve_fast(pc_s, labels_s, valid_s, K,
                                          theta0, t_lb, t_ub,
                                          H=H, W=W, max_iter=probe_iter)
-        if max_iter > probe_iter and n_inits >= 8:
-            keep = max(n_inits // 4, 4)
+        if max_iter > probe_iter and theta0.shape[1] >= 8:
+            keep = max(theta0.shape[1] // 4, 4)
             top = jnp.argsort(costs, axis=1)[:, :keep]         # (B, keep)
             theta_top = jnp.take_along_axis(
                 thetas, top[:, :, None], axis=1)               # (B, keep, P)

@@ -87,10 +87,12 @@ def _tile_terms(theta, xs, ys, zs, lab, val, fx, fy, cx, cy, H1, W1):
     v = p1 * inv_z
     dry0 = p2 - tz
     dry2 = -(p0 - tx)
-    zero = jnp.zeros_like(a)
-    dpx = (a * (dry0 - u * dry2), a, zero, -a * u)
-    dpy = (b * (-v * dry2), zero, b, -b * v)
-    dz = (dry2, zero, zero, jnp.ones_like(a))
+    # structurally-zero Jacobian entries are ``None`` (not traced zeros):
+    # Mosaic does not fold 0*x, so skipping them in the normal-equation
+    # accumulation removes ~1/3 of the multiply-adds.
+    dpx = (a * (dry0 - u * dry2), a, None, -a * u)
+    dpy = (b * (-v * dry2), None, b, -b * v)
+    dz = (dry2, None, None, jnp.ones_like(a))
 
     r0_in = jnp.maximum(-px, 0.0) + jnp.maximum(px - W1, 0.0)
     s0 = jnp.where(px < 0, -1.0, 0.0) + jnp.where(px > W1, 1.0, 0.0)
@@ -110,10 +112,28 @@ def _tile_terms(theta, xs, ys, zs, lab, val, fx, fy, cx, cy, H1, W1):
     r0 = jnp.where(is_in, r0_in, r_out)
     r1 = jnp.where(is_in, r1_in, 0.0)
     r2 = jnp.where(is_in, r2_in, 0.0)
-    J0 = [jnp.where(is_in, s0 * dx, sxd * dx + syd * dy)
-          for dx, dy in zip(dpx, dpy)]
-    J1 = [jnp.where(is_in, s1 * dy, 0.0) for dy in dpy]
-    J2 = [jnp.where(is_in, s2 * dzk, 0.0) for dzk in dz]
+
+    def _out_term(dx, dy):
+        if dx is None and dy is None:
+            return None
+        if dx is None:
+            return syd * dy
+        if dy is None:
+            return sxd * dx
+        return sxd * dx + syd * dy
+
+    J0 = []
+    for dx, dy in zip(dpx, dpy):
+        out = _out_term(dx, dy)
+        if dx is None and out is None:
+            J0.append(None)
+        else:
+            J0.append(jnp.where(is_in, 0.0 if dx is None else s0 * dx,
+                                0.0 if out is None else out))
+    J1 = [None if dy is None else jnp.where(is_in, s1 * dy, 0.0)
+          for dy in dpy]
+    J2 = [None if dzk is None else jnp.where(is_in, s2 * dzk, 0.0)
+          for dzk in dz]
 
     s_blk = r0 * r0 + r1 * r1 + r2 * r2
     w = val / (1.0 + s_blk)
@@ -247,53 +267,65 @@ def _kernel(pts_ref, labval_ref, kparams_ref, theta0_ref,
         return xs, ys, zs, lab, val
 
     def accum_normal(theta):
+        """One sweep over the cloud: normal equations H, gradient g and
+        robustified cost, all at ``theta``.  Structurally-zero Jacobian
+        entries (``None``) are skipped — J0 is dense, so every H component
+        receives at least one term."""
         def body(t, acc):
             Hacc, gacc, cacc = acc
             xs, ys, zs, lab, val = tile_views(t)
             r0, r1, r2, J0, J1, J2, w, logcost = terms(
                 theta, xs, ys, zs, lab, val, fx, fy, cx, cy, H1, W1)
-            Hnew = {
-                ij: Hacc[ij] + jnp.sum(
-                    w * (J0[ij[0]] * J0[ij[1]] + J1[ij[0]] * J1[ij[1]]
-                         + J2[ij[0]] * J2[ij[1]]),
-                    axis=-1, keepdims=True)
-                for ij in tri}
-            gnew = [gacc[k] + jnp.sum(
-                        w * (J0[k] * r0 + J1[k] * r1 + J2[k] * r2),
-                        axis=-1, keepdims=True)
-                    for k in range(P)]
+            rows = ((J0, r0), (J1, r1), (J2, r2))
+            Hnew = {}
+            for i, j in tri:
+                s = None
+                for Jr, _ in rows:
+                    if Jr[i] is None or Jr[j] is None:
+                        continue
+                    term = Jr[i] * Jr[j]
+                    s = term if s is None else s + term
+                Hnew[(i, j)] = Hacc[(i, j)] + jnp.sum(
+                    w * s, axis=-1, keepdims=True)
+            gnew = []
+            for k in range(P):
+                s = None
+                for Jr, rr in rows:
+                    if Jr[k] is None:
+                        continue
+                    term = Jr[k] * rr
+                    s = term if s is None else s + term
+                gnew.append(gacc[k] + jnp.sum(w * s, axis=-1, keepdims=True))
             cnew = cacc + jnp.sum(logcost, axis=-1, keepdims=True)
             return Hnew, gnew, cnew
         z = lambda: jnp.zeros((I_BLK, 1))
         init = ({ij: z() for ij in tri}, [z() for _ in range(P)], z())
         return jax.lax.fori_loop(0, n_tiles, body, init)
 
-    def total_cost(theta):
-        def body(t, acc):
-            xs, ys, zs, lab, val = tile_views(t)
-            logcost = terms(theta, xs, ys, zs, lab, val,
-                            fx, fy, cx, cy, H1, W1)[-1]
-            return acc + jnp.sum(logcost, axis=-1, keepdims=True)
-        return jax.lax.fori_loop(0, n_tiles, body, jnp.zeros((I_BLK, 1)))
-
     theta = clip_t(theta0_ref[0])
     lam = jnp.full((I_BLK, 1), 1e-3)
-    cost = total_cost(theta)
+    # H and g depend only on theta, so they are carried in the LM state:
+    # each iteration costs exactly ONE cloud sweep (at the proposal), and a
+    # rejected step reuses the carried H/g instead of recomputing them.
+    # Iterates are identical to the two-sweep formulation (accum at theta
+    # + cost-only at theta_new) at ~half the point-sweep work.
+    Hm, g, cost = accum_normal(theta)
 
     def lm_iter(_, state):
-        theta, lam, cost = state
-        Hm, g, _ = accum_normal(theta)
+        theta, lam, cost, Hm, g = state
         delta = _chol_solve(Hm, g, lam, P)
         theta_new = clip_t(theta - jnp.concatenate(delta, axis=-1))
-        new_cost = total_cost(theta_new)
+        Hn, gn, new_cost = accum_normal(theta_new)
         accept = new_cost < cost
         theta = jnp.where(accept, theta_new, theta)
         cost = jnp.where(accept, new_cost, cost)
+        Hm = {ij: jnp.where(accept, Hn[ij], Hm[ij]) for ij in tri}
+        g = [jnp.where(accept, gn[k], g[k]) for k in range(P)]
         lam = jnp.clip(jnp.where(accept, lam / 3.0, lam * 3.0), 1e-9, 1e9)
-        return theta, lam, cost
+        return theta, lam, cost, Hm, g
 
-    theta, lam, cost = jax.lax.fori_loop(0, max_iter, lm_iter,
-                                         (theta, lam, cost))
+    theta, lam, cost, Hm, g = jax.lax.fori_loop(
+        0, max_iter, lm_iter, (theta, lam, cost, Hm, g))
     theta_out_ref[0] = theta
     cost_out_ref[0, 0, 0] = cost[:, 0]
 

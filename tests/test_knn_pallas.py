@@ -1,0 +1,56 @@
+"""Fused Pallas kNN kernel vs brute-force numpy (interpret mode on CPU)."""
+import numpy as np
+import jax.numpy as jnp
+
+from deepi2p_tpu.ops.knn import knn
+from deepi2p_tpu.ops.knn_pallas import knn_pallas
+
+
+def _brute(q, db, k):
+    d2 = ((q[:, :, None, :] - db[:, None, :, :]) ** 2).sum(-1)  # (B,N,M)
+    idx = np.argsort(d2, axis=-1, kind="stable")[..., :k]
+    return np.take_along_axis(d2, idx, axis=-1), idx
+
+
+def test_knn_pallas_matches_bruteforce(rng):
+    B, N, M, k = 2, 300, 64, 3          # N not a multiple of 128: pad path
+    q = rng.normal(size=(B, N, 3)).astype(np.float32)
+    db = rng.normal(size=(B, M, 3)).astype(np.float32)
+    d2_p, idx_p = knn_pallas(jnp.asarray(q), jnp.asarray(db), k,
+                             interpret=True)
+    d2_b, idx_b = _brute(q, db, k)
+    np.testing.assert_array_equal(np.asarray(idx_p), idx_b)
+    np.testing.assert_allclose(np.asarray(d2_p), d2_b, rtol=1e-5, atol=1e-6)
+
+
+def test_knn_pallas_tie_handling_matches_topk(rng):
+    """Duplicate database points: stable lowest-index-first like top_k."""
+    B, N, M, k = 1, 128, 16, 4
+    q = rng.normal(size=(B, N, 3)).astype(np.float32)
+    db = rng.normal(size=(B, M, 3)).astype(np.float32)
+    db[0, 7] = db[0, 2]                  # exact duplicate -> tied distances
+    db[0, 11] = db[0, 2]
+    d2_p, idx_p = knn_pallas(jnp.asarray(q), jnp.asarray(db), k,
+                             interpret=True)
+    d2_b, idx_b = _brute(q, db, k)
+    np.testing.assert_array_equal(np.asarray(idx_p), idx_b)
+
+
+def test_knn_pallas_k16(rng):
+    B, N, M, k = 1, 128, 128, 16
+    q = rng.normal(size=(B, N, 3)).astype(np.float32)
+    db = rng.normal(size=(B, M, 3)).astype(np.float32)
+    d2_p, idx_p = knn_pallas(jnp.asarray(q), jnp.asarray(db), k,
+                             interpret=True)
+    d2_b, idx_b = _brute(q, db, k)
+    np.testing.assert_array_equal(np.asarray(idx_p), idx_b)
+    np.testing.assert_allclose(np.asarray(d2_p), d2_b, rtol=1e-5, atol=1e-6)
+
+
+def test_knn_xla_path_unchanged_on_cpu(rng):
+    """On CPU the public knn() keeps the MXU top_k path (no pallas)."""
+    q = rng.normal(size=(1, 64, 3)).astype(np.float32)
+    db = rng.normal(size=(1, 16, 3)).astype(np.float32)
+    d2, idx = knn(jnp.asarray(q), jnp.asarray(db), 3)
+    _, idx_b = _brute(q, db, 3)
+    np.testing.assert_array_equal(np.asarray(idx), idx_b)

@@ -48,6 +48,51 @@ def test_dp_train_step_runs_and_matches_single(cfg):
     assert int(state2.step) == 1 and int(ref_state2.step) == 1
 
 
+def test_sharded_registration_matches_single_device(cfg):
+    """The shard_map'ed forward+solve pipeline (the v5e-8 scaling path of
+    the bench workload) is layout-independent: per-pair PRNG keys make the
+    8-way data-parallel result identical to the single-device one."""
+    from deepi2p_tpu.models import KeypointDetector
+    from deepi2p_tpu.parallel.registration import (
+        make_sharded_registration, pair_keys, place_for_registration)
+    from deepi2p_tpu.register.frustum import (
+        initial_guess, sample_inits, solve_frustum_batch)
+
+    model = KeypointDetector(cfg)
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(cfg, seed=2).items()}
+    variables = model.init(jax.random.PRNGKey(0), batch["pc"],
+                           batch["intensity"], batch["sn"], batch["node_a"],
+                           batch["node_b"], batch["img"], train=False)
+    keys = pair_keys(jax.random.PRNGKey(7), cfg.batch_size)
+    n_inits, max_iter = 8, 4
+
+    def apply_fn(v, b):
+        coarse, _ = model.apply(v, b["pc"], b["intensity"], b["sn"],
+                                b["node_a"], b["node_b"], b["img"],
+                                train=False)
+        return coarse
+
+    # single-device reference (same per-pair keys -> same inits)
+    coarse = apply_fn(variables, batch)
+    pred = jnp.argmax(coarse, axis=-1)
+    ang, _ = jax.vmap(initial_guess)(batch["pc"], pred)
+    theta0 = jax.vmap(lambda k, a: sample_inits(k, a, n_inits))(keys, ang)
+    P_ref, cost_ref = solve_frustum_batch(
+        batch["pc"], pred, batch["K"], H=cfg.img_H, W=cfg.img_W,
+        n_inits=n_inits, max_iter=max_iter, theta0=theta0)
+
+    mesh = make_mesh(n_model=1)
+    step = make_sharded_registration(mesh, apply_fn, H=cfg.img_H,
+                                     W=cfg.img_W, n_inits=n_inits,
+                                     max_iter=max_iter)
+    sv, sb, sk = place_for_registration(mesh, variables, batch, keys)
+    P_sh, cost_sh = step(sv, sb, sk)
+    np.testing.assert_allclose(np.asarray(P_sh), np.asarray(P_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cost_sh), np.asarray(cost_ref),
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_tp_sharded_params_step(cfg):
     """data=4 x model=2 mesh: wide kernels sharded over 'model'."""
     mesh = make_mesh(n_model=2)
