@@ -45,7 +45,10 @@ def make_sharded_registration(mesh: Mesh, apply_fn, *, H: int, W: int,
       :func:`pair_keys`; variables replicated, batch/keys sharded over
       'data'.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map            # jax >= 0.8
+    except ImportError:                       # pragma: no cover
+        from jax.experimental.shard_map import shard_map
     from ..ops.knn_pallas import force_pallas
 
     def per_shard(variables, batch, keys):

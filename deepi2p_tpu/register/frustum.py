@@ -339,13 +339,29 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng=None,
     valid_s = valid[:, ::solver_stride]
 
     if backend == "pallas":
-        # one kernel launch runs every init to completion (2D and 3D modes;
-        # successive halving is counterproductive here — launch cost >>
-        # iteration cost)
+        # successive halving, same policy as the XLA path below: probe
+        # every init for a few iterations, then spend the remaining budget
+        # on the best quarter.  Both kernel launches live in ONE jitted
+        # program, so the second launch costs no extra dispatch; the
+        # iteration work drops to probe*I + (max_iter-probe)*I/4.
         from .frustum_pallas import lm_solve_pallas
-        thetas, costs = lm_solve_pallas(pc_s, labels_s, valid_s, K, theta0,
-                                        t_lb_t, t_ub_t, H=H, W=W,
-                                        max_iter=max_iter)
+        I = theta0.shape[1]
+        probe_iter = min(8, max_iter)
+        if max_iter > probe_iter and I >= 4 * I_BLK:
+            thetas, costs = lm_solve_pallas(pc_s, labels_s, valid_s, K,
+                                            theta0, t_lb_t, t_ub_t, H=H,
+                                            W=W, max_iter=probe_iter)
+            keep = max((I // 4) // I_BLK * I_BLK, I_BLK)
+            top = jnp.argsort(costs, axis=1)[:, :keep]         # (B, keep)
+            theta_top = jnp.take_along_axis(
+                thetas, top[:, :, None], axis=1)               # (B, keep, P)
+            thetas, costs = lm_solve_pallas(
+                pc_s, labels_s, valid_s, K, theta_top, t_lb_t, t_ub_t,
+                H=H, W=W, max_iter=max_iter - probe_iter)
+        else:
+            thetas, costs = lm_solve_pallas(pc_s, labels_s, valid_s, K,
+                                            theta0, t_lb_t, t_ub_t, H=H,
+                                            W=W, max_iter=max_iter)
     elif is_2d:
         # analytic-Jacobian fast path (frustum_fast.py), with
         # successive halving: probe every init for a few iterations, then
