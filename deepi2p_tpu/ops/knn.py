@@ -25,7 +25,14 @@ def pairwise_dist2(x: jax.Array, y: jax.Array) -> jax.Array:
       (B, N, M) squared distances (clamped at 0 for numerical safety).
     """
     # MXU path: the cross term is a batched matmul.  Accumulate in f32.
-    xy = jnp.einsum("bnd,bmd->bnm", x, y, preferred_element_type=jnp.float32)
+    # precision=HIGHEST: on TPU, f32 matmuls otherwise run as bf16 passes —
+    # measured on-chip, that flipped 3.6% (k=3) / 6.1% (k=16) of neighbour
+    # indices vs exact f32 (the fused Pallas kernel and the reference's
+    # difference-tensor formulation are both exact).  The contraction is
+    # D=3, so the extra passes are free next to the (B, N, M) output.
+    xy = jnp.einsum("bnd,bmd->bnm", x, y,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     x2 = jnp.sum(x.astype(jnp.float32) ** 2, axis=-1)[:, :, None]
     y2 = jnp.sum(y.astype(jnp.float32) ** 2, axis=-1)[:, None, :]
     return jnp.maximum(x2 + y2 - 2.0 * xy, 0.0)

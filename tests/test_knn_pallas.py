@@ -47,6 +47,32 @@ def test_knn_pallas_k16(rng):
     np.testing.assert_allclose(np.asarray(d2_p), d2_b, rtol=1e-5, atol=1e-6)
 
 
+def test_knn_both_paths_exact_vs_bruteforce(rng):
+    """Both kNN paths must reproduce brute-force f32 indices EXACTLY.
+
+    On CPU this is trivially true; run with ``DEEPI2P_TEST_PLATFORM=axon``
+    it becomes the real guard: on TPU, f32 matmuls silently execute as
+    bf16 passes unless precision=HIGHEST — before that fix the MXU
+    pairwise-distance path flipped 3.6% (k=3) / 6.1% (k=16) of neighbour
+    indices on-chip (measured), while the compiled Pallas kernel was
+    bit-exact (direct (db-q)^2, the reference's own formulation).
+    """
+    import jax
+    from deepi2p_tpu.ops.knn import pairwise_dist2
+    B, N, M, k = 2, 2048, 128, 3
+    q = rng.normal(size=(B, N, 3)).astype(np.float32)
+    db = rng.normal(size=(B, M, 3)).astype(np.float32)
+    d2_b, idx_b = _brute(q, db, k)
+    on_tpu = jax.default_backend() == "tpu"
+    d2p, idxp = knn_pallas(jnp.asarray(q), jnp.asarray(db), k,
+                           interpret=not on_tpu)
+    np.testing.assert_array_equal(np.asarray(idxp), idx_b)
+    neg, idxx = jax.lax.top_k(-pairwise_dist2(jnp.asarray(q),
+                                              jnp.asarray(db)), k)
+    np.testing.assert_array_equal(np.asarray(idxx), idx_b)
+    np.testing.assert_allclose(np.asarray(-neg), d2_b, rtol=1e-4, atol=1e-5)
+
+
 def test_knn_xla_path_unchanged_on_cpu(rng):
     """On CPU the public knn() keeps the MXU top_k path (no pallas)."""
     q = rng.normal(size=(1, 64, 3)).astype(np.float32)
