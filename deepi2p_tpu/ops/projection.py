@@ -32,10 +32,16 @@ def project_points(pc: jax.Array, P: jax.Array, K: jax.Array):
     """
     R = P[:, :3, :3]
     t = P[:, :3, 3]
+    # precision=HIGHEST: label generation must be exact f32 — TPU matmuls
+    # otherwise run bf16 passes, perturbing pixel coords ~0.4% and flipping
+    # boundary labels (the reference's torch matmul is true f32); the D=3
+    # contraction makes the extra passes free.
     cam = jnp.einsum("bij,bnj->bni", R, pc,
-                     preferred_element_type=jnp.float32) + t[:, None, :]
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
     hom = jnp.einsum("bij,bnj->bni", K, cam,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     z = hom[:, :, 2]
     pxpy = hom[:, :, :2] / z[:, :, None]
     return pxpy, z

@@ -35,8 +35,11 @@ def node_mean_and_count(points: jax.Array, idx: jax.Array, num_nodes: int):
     The denominator is detached, matching ``models/networks_pc.py:76``.
     """
     onehot = jax.nn.one_hot(idx, num_nodes, dtype=jnp.float32)  # (B, N, M)
+    # precision=HIGHEST: exact f32 cluster means (TPU default = bf16 passes,
+    # ~0.4% coordinate error); output is (B, M, D) tiny, passes are free
     total = jnp.einsum("bnm,bnd->bmd", onehot, points.astype(jnp.float32),
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     count = jnp.sum(onehot, axis=1)  # (B, M)
     mean = total / jax.lax.stop_gradient(count + 1e-5)[:, :, None]
     return mean, count

@@ -73,9 +73,20 @@ def icp_point_to_point(source, target, P_init, *, threshold: float = 1.0,
                        max_iter: int = 30) -> ICPResult:
     """Fixed-iteration point-to-point ICP aligning source onto target.
 
+    All matmuls at HIGHEST precision: the D=3 pose/Kabsch contractions are
+    free, and TPU's default bf16 passes would perturb nearest-neighbour
+    assignments and the Kabsch covariance (Open3D computes exact f64).
+
     Args:
       source (N,3): the network point cloud; target (M,3): pseudo cloud.
     """
+    with jax.default_matmul_precision("highest"):
+        return _icp_point_to_point_impl(source, target, P_init,
+                                        threshold=threshold,
+                                        max_iter=max_iter)
+
+
+def _icp_point_to_point_impl(source, target, P_init, *, threshold, max_iter):
     R0, t0 = P_init[:3, :3], P_init[:3, 3]
 
     def body(state, _):

@@ -187,11 +187,23 @@ def solve_pnp(pc: jax.Array, coarse_pred: jax.Array, fine_pred: jax.Array,
               min_set: int = 8, lo_candidates: int = 4) -> PnPResult:
     """RANSAC PnP for one pair (vmap over a batch as needed).
 
+    All matmuls at HIGHEST precision (cv2 solves in f64; TPU's default
+    bf16 passes would corrupt the DLT normal matrix and GN refinement).
+
     Args:
       pc (N,3), coarse_pred (N,) {0,1}, fine_pred (N,) cell labels,
       K (3,3) at *full* resolution; scaled to cell resolution internally
       (``registration_pnp.py:102-104``).
     """
+    with jax.default_matmul_precision("highest"):
+        return _solve_pnp_impl(pc, coarse_pred, fine_pred, K, rng,
+                               W_fine=W_fine, n_hypotheses=n_hypotheses,
+                               reproj_thresh=reproj_thresh,
+                               min_set=min_set, lo_candidates=lo_candidates)
+
+
+def _solve_pnp_impl(pc, coarse_pred, fine_pred, K, rng, *, W_fine,
+                    n_hypotheses, reproj_thresh, min_set, lo_candidates):
     mask = coarse_pred.astype(jnp.float32)
     n_inside = jnp.sum(mask)
     K_fine = (K / 32.0).at[2, 2].set(1.0)
