@@ -279,7 +279,8 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng=None,
                         ry_sigma: float = 10.0 * jnp.pi / 180.0,
                         t_lb=(-5.0, -0.1, -10.0), t_ub=(5.0, 0.1, 10.0),
                         is_2d: bool = True, solver_stride: int = 1,
-                        backend: str = "auto", theta0=None):
+                        backend: str = "auto", theta0=None,
+                        probe_stride: int = 2):
     """Full multi-init solve for a batch of pairs.
 
     Mirrors ``solve_P_random_perturb`` (``registration_lsq.py:142-186``):
@@ -290,6 +291,9 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng=None,
     ``solver_stride`` optionally subsamples the points fed to the LM
     iterations (the cost is a sum over points, so a uniform stride leaves
     the minimiser statistically unchanged while dividing the work).
+    ``probe_stride`` additionally subsamples the *ranking* phase of the
+    successive-halving pallas path only — survivor refinement (which alone
+    produces the returned poses) always runs at ``solver_stride``.
 
     ``backend``: 'auto' picks the single-launch Pallas mega-kernel on TPU
     (``frustum_pallas``) and the XLA scan path elsewhere; 'pallas'/'xla'
@@ -348,7 +352,14 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng=None,
         I = theta0.shape[1]
         probe_iter = min(8, max_iter)
         if max_iter > probe_iter and I >= 4 * I_BLK:
-            thetas, costs = lm_solve_pallas(pc_s, labels_s, valid_s, K,
+            # the probe phase only RANKS inits, so it runs on a further
+            # point subsample (the cost is a sum over points — a uniform
+            # stride preserves the basin ordering in expectation); the
+            # survivors are refined on the full point set, which alone
+            # determines the returned poses/costs.
+            ps = probe_stride
+            thetas, costs = lm_solve_pallas(pc_s[:, ::ps], labels_s[:, ::ps],
+                                            valid_s[:, ::ps], K,
                                             theta0, t_lb_t, t_ub_t, H=H,
                                             W=W, max_iter=probe_iter)
             keep = max((I // 4) // I_BLK * I_BLK, I_BLK)
