@@ -84,6 +84,17 @@ def node_pool_max(features: jax.Array, idx: jax.Array, num_nodes: int,
 def scatter_to_points(node_features: jax.Array, idx: jax.Array) -> jax.Array:
     """Broadcast node features back to points: (B,M,C), (B,N) -> (B,N,C).
 
-    Mirrors the scatter gather at ``models/networks_pc.py:95-97``.
+    Mirrors the scatter gather at ``models/networks_pc.py:95-97``, but
+    formulated as a one-hot matmul: each output row is a single-nonzero
+    contraction, so values are bit-exact (0/1 weights select one product)
+    and the vjp is the same scatter-add — while the MXU does the routing.
+    Measured in the fused forward (perf_probe7): 2.8 ms faster than the
+    gather lowering at Oxford shapes.  f32 inputs pin HIGHEST so the
+    selected value is not rounded through bf16 passes.
     """
-    return jax.vmap(lambda f, i: f[i])(node_features, idx)
+    M = node_features.shape[1]
+    onehot = jax.nn.one_hot(idx, M, dtype=node_features.dtype)
+    prec = (jax.lax.Precision.HIGHEST
+            if node_features.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    return jnp.einsum("bnm,bmc->bnc", onehot, node_features, precision=prec)
