@@ -280,7 +280,7 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng=None,
                         t_lb=(-5.0, -0.1, -10.0), t_ub=(5.0, 0.1, 10.0),
                         is_2d: bool = True, solver_stride: int = 1,
                         backend: str = "auto", theta0=None,
-                        probe_stride: int = 2):
+                        probe_stride: int = 4):
     """Full multi-init solve for a batch of pairs.
 
     Mirrors ``solve_P_random_perturb`` (``registration_lsq.py:142-186``):
