@@ -64,9 +64,14 @@ def make_sharded_registration(mesh: Mesh, apply_fn, *, H: int, W: int,
                                    theta0=theta0)
 
     data_specs = (P(), P("data"), P("data"))
-    fn = shard_map(per_shard, mesh=mesh, in_specs=data_specs,
-                   out_specs=(P("data"), P("data")),
-                   check_rep=False)
+    # replication checking must be off: the body calls pallas kernels the
+    # checker cannot see through.  jax >= 0.8.1 renamed check_rep->check_vma.
+    try:
+        fn = shard_map(per_shard, mesh=mesh, in_specs=data_specs,
+                       out_specs=(P("data"), P("data")), check_vma=False)
+    except TypeError:
+        fn = shard_map(per_shard, mesh=mesh, in_specs=data_specs,
+                       out_specs=(P("data"), P("data")), check_rep=False)
 
     @functools.wraps(fn)
     def step(variables, batch, keys):

@@ -88,7 +88,11 @@ def _residuals_t(theta, pts_t, labels, valid, K, H, W, is_2d: bool):
     labels/valid are (N,) float."""
     aa, t = _unpack(theta, is_2d)
     R = rodrigues(aa)
-    p = R @ pts_t + t[:, None]                          # (3, N)
+    # HIGHEST: on TPU the default matmul precision runs bf16 passes, which
+    # perturbs residuals vs the full-f32 pallas kernel (a 3xN matmul is
+    # negligible work either way)
+    p = jnp.matmul(R, pts_t,
+                   precision=jax.lax.Precision.HIGHEST) + t[:, None]
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     z = p[2]
     px = fx * p[0] / z + cx
@@ -201,9 +205,11 @@ def lm_solve(pts, labels, valid, K, theta0, t_lb, t_ub, *,
         s = jnp.sum(r ** 2, axis=0)                     # (N,)
         w = valid / (1.0 + s)                           # Cauchy rho'(s)
         Hmat = jnp.einsum("rnp,rnq,n->pq", J, J, w,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
         g = jnp.einsum("rnp,rn,n->p", J, r, w,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
         damp = lam * jnp.diag(jnp.diagonal(Hmat)) + 1e-9 * jnp.eye(P)
         delta = -_spd_solve(Hmat + damp, g)
         theta_new = clip_t(theta + delta)
@@ -280,7 +286,7 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng=None,
                         t_lb=(-5.0, -0.1, -10.0), t_ub=(5.0, 0.1, 10.0),
                         is_2d: bool = True, solver_stride: int = 1,
                         backend: str = "auto", theta0=None,
-                        probe_stride: int = 4):
+                        probe_stride: int = 8, survivors: int | None = None):
     """Full multi-init solve for a batch of pairs.
 
     Mirrors ``solve_P_random_perturb`` (``registration_lsq.py:142-186``):
@@ -294,6 +300,8 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng=None,
     ``probe_stride`` additionally subsamples the *ranking* phase of the
     successive-halving pallas path only — survivor refinement (which alone
     produces the returned poses) always runs at ``solver_stride``.
+    ``survivors`` sets how many inits graduate from the probe phase
+    (default: the best quarter, rounded to the pallas init block).
 
     ``backend``: 'auto' picks the single-launch Pallas mega-kernel on TPU
     (``frustum_pallas``) and the XLA scan path elsewhere; 'pallas'/'xla'
@@ -362,7 +370,13 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng=None,
                                             valid_s[:, ::ps], K,
                                             theta0, t_lb_t, t_ub_t, H=H,
                                             W=W, max_iter=probe_iter)
-            keep = max((I // 4) // I_BLK * I_BLK, I_BLK)
+            # default: best eighth graduates (an 8-wide survivor set kept
+            # 32/32 success at 10% label noise on bench-scale problems —
+            # scripts/perf_probe8.py sweep on the real chip)
+            if survivors is None:
+                keep = max((I // 8) // I_BLK * I_BLK, I_BLK)
+            else:
+                keep = max(min(survivors, I) // I_BLK * I_BLK, I_BLK)
             top = jnp.argsort(costs, axis=1)[:, :keep]         # (B, keep)
             theta_top = jnp.take_along_axis(
                 thetas, top[:, :, None], axis=1)               # (B, keep, P)
@@ -383,7 +397,8 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng=None,
                                          theta0, t_lb, t_ub,
                                          H=H, W=W, max_iter=probe_iter)
         if max_iter > probe_iter and theta0.shape[1] >= 8:
-            keep = max(theta0.shape[1] // 4, 4)
+            keep = (max(theta0.shape[1] // 4, 4) if survivors is None
+                    else max(min(survivors, theta0.shape[1]), 4))
             top = jnp.argsort(costs, axis=1)[:, :keep]         # (B, keep)
             theta_top = jnp.take_along_axis(
                 thetas, top[:, :, None], axis=1)               # (B, keep, P)
