@@ -33,7 +33,10 @@ import jax.numpy as jnp
 BASELINE_REGS_PER_SEC = 500.0
 N_INITS = 64           # rounded to the pallas init-block (reference: 60)
 MAX_ITER = 24
-SOLVER_STRIDE = 1      # all 20480 points in the LM (success 0.94 at 10% label noise)
+# stride-2 refine keeps 32/32 success at 10% label noise on bench-scale
+# problems (scripts/perf_probe8.py sweep on the real chip; stride 4 was the
+# first config to drop a problem).  Gate: test_bench_config_quality_gate.
+SOLVER_STRIDE = 2
 
 
 def main():

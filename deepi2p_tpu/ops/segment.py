@@ -66,10 +66,12 @@ def node_pool_max(features: jax.Array, idx: jax.Array, num_nodes: int,
     """
     del chunk  # retained for API compatibility with the old sweep
     B, N, C = features.shape
-    f32 = features.astype(jnp.float32)
+    # pool in the input dtype: max is pure selection (no accumulation), so
+    # a bf16 pool of bf16 features is bit-exact — and it halves the HBM
+    # traffic of the scatter-max lowering, the pools' actual cost
     seg = (idx.astype(jnp.int32)
            + jnp.arange(B, dtype=jnp.int32)[:, None] * num_nodes).reshape(-1)
-    pooled = jax.ops.segment_max(f32.reshape(B * N, C), seg,
+    pooled = jax.ops.segment_max(features.reshape(B * N, C), seg,
                                  num_segments=B * num_nodes)
     pooled = pooled.reshape(B, num_nodes, C)
     if has_points is None:

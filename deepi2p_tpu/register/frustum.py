@@ -286,7 +286,8 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng=None,
                         t_lb=(-5.0, -0.1, -10.0), t_ub=(5.0, 0.1, 10.0),
                         is_2d: bool = True, solver_stride: int = 1,
                         backend: str = "auto", theta0=None,
-                        probe_stride: int = 8, survivors: int | None = None):
+                        probe_stride: int | None = None,
+                        survivors: int | None = None):
     """Full multi-init solve for a batch of pairs.
 
     Mirrors ``solve_P_random_perturb`` (``registration_lsq.py:142-186``):
@@ -299,9 +300,12 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng=None,
     the minimiser statistically unchanged while dividing the work).
     ``probe_stride`` additionally subsamples the *ranking* phase of the
     successive-halving pallas path only — survivor refinement (which alone
-    produces the returned poses) always runs at ``solver_stride``.
+    produces the returned poses) always runs at ``solver_stride``.  The
+    default targets a TOTAL probe subsample of every 8th point regardless
+    of ``solver_stride`` (the deepest ranking subsample that kept 32/32
+    success at 10% label noise on bench-scale problems, perf_probe8.py).
     ``survivors`` sets how many inits graduate from the probe phase
-    (default: the best quarter, rounded to the pallas init block).
+    (default: the best eighth, rounded to the pallas init block).
 
     ``backend``: 'auto' picks the single-launch Pallas mega-kernel on TPU
     (``frustum_pallas``) and the XLA scan path elsewhere; 'pallas'/'xla'
@@ -318,6 +322,8 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng=None,
       (P (B,4,4), cost (B,)).
     """
     B = pc.shape[0]
+    if probe_stride is None:
+        probe_stride = max(1, 8 // solver_stride)
     t_lb_t = tuple(float(v) for v in t_lb)
     t_ub_t = tuple(float(v) for v in t_ub)
     t_lb = jnp.asarray(t_lb_t)

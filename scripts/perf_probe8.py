@@ -60,10 +60,12 @@ def main():
                         np.stack(Ps)))
 
     configs = [
-        ("ps=4 keep=16 (current)", dict(probe_stride=4, survivors=16)),
-        ("ps=4 keep=8", dict(probe_stride=4, survivors=8)),
-        ("ps=8 keep=16", dict(probe_stride=8, survivors=16)),
-        ("ps=8 keep=8", dict(probe_stride=8, survivors=8)),
+        ("ps=8 keep=8 stride=1 (cur)", dict(probe_stride=8, survivors=8,
+                                            solver_stride=1)),
+        ("ps=4 keep=8 stride=2", dict(probe_stride=4, survivors=8,
+                                      solver_stride=2)),
+        ("ps=2 keep=8 stride=4", dict(probe_stride=2, survivors=8,
+                                      solver_stride=4)),
     ]
 
     for name, kw in configs:
@@ -71,8 +73,7 @@ def main():
             r = jax.random.fold_in(jax.random.PRNGKey(0),
                                    carry.astype(jnp.int32))
             P, cost = solve_frustum_batch(pc, lab, K, H=H, W=W, rng=r,
-                                          n_inits=64, max_iter=24,
-                                          solver_stride=1, **kw)
+                                          n_inits=64, max_iter=24, **kw)
             return P, cost, jnp.sum(cost)
         carry0 = jnp.zeros((), jnp.float32)
         a0 = batches[0]

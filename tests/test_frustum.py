@@ -180,14 +180,15 @@ def test_bench_config_quality_gate(rng):
     P_pred, cost = solve_frustum_batch(pc, labels, K, H=H, W=W,
                                        rng=jax.random.PRNGKey(0),
                                        n_inits=64, max_iter=24,
-                                       solver_stride=1)
+                                       solver_stride=2)
     ok = 0
     for b in range(B):
         rte, rre = pose_diff_np(np.asarray(P_pred[b], np.float64),
                                 np.asarray(Ps[b], np.float64))
         ok += (rte < 2.0 and rre < 5.0)
-    # measured 5/6 at this seed (the miss is RTE=2.09 m, noise-limited —
-    # its cost minimum under 10% flipped labels is genuinely off-pose)
+    # measured 5/6 at this seed at stride 1 AND stride 2 (the miss is
+    # RTE=2.09 m, noise-limited — its cost minimum under 10% flipped labels
+    # is genuinely off-pose); bench-scale evidence: perf_probe8.py 32/32
     assert ok >= 5, f"success {ok}/{B} below gate at bench config"
 
 
