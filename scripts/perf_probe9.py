@@ -58,7 +58,8 @@ def cheap_mlp_stand_in(names):
 
 
 def main():
-    cfg = config.oxford(batch_size=8)
+    import os
+    cfg = config.oxford(batch_size=int(os.environ.get("PROBE_B", "8")))
     model = KeypointDetector(cfg)
     batch = {k: jnp.asarray(v) for k, v in
              synthetic_batch(cfg, seed=0).items()}
