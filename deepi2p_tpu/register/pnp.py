@@ -156,11 +156,15 @@ def _gn_refine(R0, t0, X, uv, K, weights, iters: int = 10):
         return r * weights[:, None]
 
     def step(theta, _):
+        from .frustum import _spd_solve
         r = residuals(theta)
         J = jax.jacfwd(residuals)(theta)        # (S, 2, 6)
         H = jnp.einsum("nrp,nrq->pq", J, J) + 1e-6 * jnp.eye(6)
         g = jnp.einsum("nrp,nr->p", J, r)
-        return theta - jnp.linalg.solve(H, g), None
+        # H is SPD (J^T J + eps I): the unrolled Cholesky avoids
+        # jnp.linalg.solve's pivoted LU, which serialises inside a
+        # vmapped TPU scan (same reasoning as the frustum LM core)
+        return theta - _spd_solve(H, g), None
 
     theta, _ = jax.lax.scan(step, theta0, None, length=iters,
                             unroll=iters)
@@ -211,9 +215,13 @@ def _solve_pnp_impl(pc, coarse_pred, fine_pred, K, rng, *, W_fine,
     uv = fine_label_to_cell(fine_pred, W_fine, center=True)  # (N, 2)
 
     # -- hypothesis sampling: gumbel-top-k over inside points ------------
+    # approx_max_k: TPU-optimised partial reduction instead of a full
+    # 500 x N sort; positions are distinct and the draw stays a uniform
+    # random inside-subset (recall ~0.95 only perturbs WHICH random subset
+    # is drawn, not its validity).  Exact on CPU (falls back to top_k).
     g = jax.random.gumbel(rng, (n_hypotheses, pc.shape[0]))
     scores = jnp.log(jnp.maximum(mask, 1e-20))[None, :] + g
-    _, subset_idx = jax.lax.top_k(scores, min_set)  # (Hyp, min_set)
+    _, subset_idx = jax.lax.approx_max_k(scores, min_set)  # (Hyp, min_set)
 
     def hypo(idx):
         R, t = _dlt_pose(pc[idx], uv[idx], K_inv)
