@@ -125,6 +125,25 @@ def test_solve_frustum_batch_end_to_end(rng):
     assert summ["success_rate"] >= 2.0 / 3.0, (summ, rtes, rres)
 
 
+def test_solver_survivor_knob(rng):
+    """`survivors` shrinks the halving graduate set without losing the
+    clean-label recovery guarantee (the bench runs survivors=8 by
+    default); `probe_stride=None` auto-adapts to solver_stride."""
+    yaw, t = 0.8, np.array([1.0, 0.0, -1.5], np.float32)
+    pc, labels, P = _make_problem(rng, yaw, t, n=2048)
+    pcb = jnp.asarray(pc[None])
+    labb = jnp.asarray(labels[None])
+    K = jnp.asarray(K_np[None])
+    P_pred, cost = solve_frustum_batch(pcb, labb, K, H=H, W=W,
+                                       rng=jax.random.PRNGKey(0),
+                                       n_inits=16, max_iter=32,
+                                       solver_stride=2, survivors=4,
+                                       probe_stride=None)
+    rte, rre = pose_diff_np(np.asarray(P_pred[0], np.float64),
+                            np.asarray(P, np.float64))
+    assert rte < 2.0 and rre < 5.0, (rte, rre)
+
+
 def test_solve_frustum_batch_no_insiders_fallback(rng):
     pc = jnp.asarray(rng.normal(size=(1, 64, 3)).astype(np.float32))
     labels = jnp.zeros((1, 64), jnp.int32)
