@@ -105,6 +105,100 @@ def knn_pallas(query: jax.Array, database: jax.Array, k: int, *,
     return jax.lax.stop_gradient(d2), jax.lax.stop_gradient(idx)
 
 
+DB_CHUNK = 512       # sublane extent of one streamed database chunk
+
+
+def _nn1_kernel(q_ref, db_ref, d2_ref, idx_ref):
+    """Streaming 1-NN: the grid's minor axis walks database chunks and
+    folds each chunk's (sublane-)min into the revisited output block, so
+    the full (M, T) — let alone (N, M) — distance matrix never exists."""
+    m = pl.program_id(2)
+    q = q_ref[0]                       # (D, T)
+    db = db_ref[0]                     # (MC, D)
+    MC, D = db.shape
+    d2 = None
+    for d in range(D):
+        diff = db[:, d:d + 1] - q[d:d + 1, :]           # (MC, T)
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+    cmin = jnp.min(d2, axis=0, keepdims=True)           # (1, T)
+    iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
+    carg = jnp.min(jnp.where(d2 == cmin, iota, MC),
+                   axis=0, keepdims=True) + m * MC      # first match
+
+    @pl.when(m == 0)
+    def _init():
+        d2_ref[0] = cmin
+        idx_ref[0] = carg
+
+    @pl.when(m > 0)
+    def _fold():
+        better = cmin < d2_ref[0]
+        d2_ref[0] = jnp.where(better, cmin, d2_ref[0])
+        idx_ref[0] = jnp.where(better, carg, idx_ref[0])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nn1_pallas(query: jax.Array, database: jax.Array, *,
+               interpret: bool = False):
+    """Exact nearest database point per query, for LARGE databases.
+
+    Unlike :func:`knn_pallas` (whole database resident, M <= 512), the
+    database is streamed through VMEM in :data:`DB_CHUNK` slabs with a
+    running (min, argmin) carried in the revisited output block — built
+    for the ICP inner loop (``register/icp.py``), whose XLA path
+    materialised a (N, M) f32 matrix in HBM per iteration.
+
+    Args:
+      query: (B, N, D); database: (B, M, D), D <= 8, any M (padded
+        internally with a far sentinel).
+    Returns:
+      (d2, idx): both (B, N), exact f32 / int32; ties resolve to the
+      lowest index like ``jnp.argmin``.
+    """
+    B, N, D = query.shape
+    M = database.shape[1]
+    assert D <= 8
+
+    T = min(POINT_TILE, -(-N // 128) * 128)
+    padn = (-N) % T
+    qt = jnp.moveaxis(query.astype(jnp.float32), -1, 1)     # (B, D, N)
+    if padn:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, padn)))
+    MC = min(DB_CHUNK, -(-M // 8) * 8)
+    padm = (-M) % MC
+    db = database.astype(jnp.float32)
+    if padm:
+        # far sentinel: never the minimum unless the whole db is padding
+        db = jnp.pad(db, ((0, 0), (0, padm), (0, 0)),
+                     constant_values=1e9)
+    Np, Mp = N + padn, M + padm
+
+    d2, idx = pl.pallas_call(
+        _nn1_kernel,
+        grid=(B, Np // T, Mp // MC),
+        in_specs=[
+            pl.BlockSpec((1, D, T), lambda b, t, m: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, MC, D), lambda b, t, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, T), lambda b, t, m: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T), lambda b, t, m: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1, Np), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, Np), jnp.int32),
+        ),
+        interpret=interpret,
+    )(qt, db)
+    d2 = d2[:, 0, :N]
+    idx = idx[:, 0, :N]
+    return jax.lax.stop_gradient(d2), jax.lax.stop_gradient(idx)
+
+
 _force_pallas = 0
 
 
@@ -122,6 +216,15 @@ class force_pallas:
     def __exit__(self, *exc):
         global _force_pallas
         _force_pallas -= 1
+
+
+def pallas_eligible_nn1(query: jax.Array, database: jax.Array) -> bool:
+    """Gate for :func:`nn1_pallas` (no M cap — the database streams)."""
+    if jax.default_backend() != "tpu":
+        return False
+    if jax.device_count() != 1 and not _force_pallas:
+        return False
+    return query.shape[-1] <= 8
 
 
 def pallas_eligible(query: jax.Array, database: jax.Array, k: int) -> bool:

@@ -86,15 +86,31 @@ def icp_point_to_point(source, target, P_init, *, threshold: float = 1.0,
                                         max_iter=max_iter)
 
 
+def _nn1(moved, target):
+    """(min_d2 (N,), argmin (N,)) nearest-target per point.
+
+    On TPU the streaming Pallas kernel never materialises the (N, M)
+    distance matrix the XLA path writes to HBM — at ICP scale
+    (N=20480, M~5k) that matrix is ~400 MB *per init per iteration* and
+    was the entire ICP cost (measured 16.9 s -> see BENCH_NOTES).
+    """
+    from ..ops.knn_pallas import nn1_pallas, pallas_eligible_nn1
+    if pallas_eligible_nn1(moved, target):
+        d2m, nn = nn1_pallas(moved[None], target[None])
+        return d2m[0], nn[0]
+    d2 = pairwise_dist2(moved[None], target[None])[0]      # (N, M)
+    nn = jnp.argmin(d2, axis=1)
+    return jnp.take_along_axis(d2, nn[:, None], 1)[:, 0], nn
+
+
 def _icp_point_to_point_impl(source, target, P_init, *, threshold, max_iter):
     R0, t0 = P_init[:3, :3], P_init[:3, 3]
 
     def body(state, _):
         R, t = state
         moved = source @ R.T + t
-        d2 = pairwise_dist2(moved[None], target[None])[0]      # (N, M)
-        nn = jnp.argmin(d2, axis=1)
-        nn_d = jnp.sqrt(jnp.take_along_axis(d2, nn[:, None], 1)[:, 0])
+        d2m, nn = _nn1(moved, target)
+        nn_d = jnp.sqrt(d2m)
         w = (nn_d < threshold).astype(jnp.float32)
         Rn, tn = _kabsch(source, target[nn], w)
         ok = jnp.sum(w) >= 3
@@ -105,9 +121,8 @@ def _icp_point_to_point_impl(source, target, P_init, *, threshold, max_iter):
     (R, t), _ = jax.lax.scan(body, (R0, t0), None, length=max_iter,
                              unroll=min(4, max_iter))
     moved = source @ R.T + t
-    d2 = pairwise_dist2(moved[None], target[None])[0]
-    fitness = jnp.mean((jnp.min(d2, axis=1) < threshold ** 2)
-                       .astype(jnp.float32))
+    d2m, _ = _nn1(moved, target)
+    fitness = jnp.mean((d2m < threshold ** 2).astype(jnp.float32))
     P = jnp.eye(4).at[:3, :3].set(R).at[:3, 3].set(t)
     return ICPResult(P=P, fitness=fitness)
 

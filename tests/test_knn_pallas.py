@@ -1,5 +1,6 @@
 """Fused Pallas kNN kernel vs brute-force numpy (interpret mode on CPU)."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from deepi2p_tpu.ops.knn import knn
@@ -80,3 +81,36 @@ def test_knn_xla_path_unchanged_on_cpu(rng):
     d2, idx = knn(jnp.asarray(q), jnp.asarray(db), 3)
     _, idx_b = _brute(q, db, 3)
     np.testing.assert_array_equal(np.asarray(idx), idx_b)
+
+
+def test_nn1_streaming_matches_bruteforce(rng):
+    """The streaming 1-NN kernel (large-M databases, ICP inner loop) is
+    exact vs numpy brute force, including the db-padding branch and
+    chunk-boundary tie semantics."""
+    from deepi2p_tpu.ops.knn_pallas import nn1_pallas
+    B, N, M = 2, 300, 1100          # M spans 3 chunks (pad branch: 1100->1104)
+    q = rng.normal(size=(B, N, 3)).astype(np.float32) * 5
+    db = rng.normal(size=(B, M, 3)).astype(np.float32) * 5
+    d2 = np.sum((q[:, :, None, :] - db[:, None, :, :]) ** 2, axis=-1)
+    idx_b = np.argmin(d2, axis=-1)
+    d2_b = np.min(d2, axis=-1)
+    on_tpu = jax.default_backend() == "tpu"
+    d2p, idxp = nn1_pallas(jnp.asarray(q), jnp.asarray(db),
+                           interpret=not on_tpu)
+    np.testing.assert_array_equal(np.asarray(idxp), idx_b)
+    np.testing.assert_allclose(np.asarray(d2p), d2_b, rtol=1e-5, atol=1e-5)
+
+
+def test_nn1_under_vmap(rng):
+    """nn1_pallas must batch correctly under vmap — the ICP harness vmaps
+    the per-init solve, so the pallas batching rule adds a grid dim."""
+    from deepi2p_tpu.ops.knn_pallas import nn1_pallas
+    I, N, M = 3, 150, 520
+    q = rng.normal(size=(I, N, 3)).astype(np.float32)
+    db = rng.normal(size=(M, 3)).astype(np.float32)
+    on_tpu = jax.default_backend() == "tpu"
+    fn = lambda qi: nn1_pallas(qi[None], jnp.asarray(db)[None],
+                               interpret=not on_tpu)
+    d2v, idxv = jax.vmap(fn)(jnp.asarray(q))
+    d2 = np.sum((q[:, :, None, :] - db[None, None, :, :]) ** 2, axis=-1)
+    np.testing.assert_array_equal(np.asarray(idxv)[:, 0], np.argmin(d2, -1))
