@@ -46,8 +46,12 @@ def test_normal_equations_match_autodiff(rng):
     J = jax.jacfwd(res_fn)(theta)          # (3, N, 4)
     s = jnp.sum(r ** 2, axis=0)
     w = valid / (1.0 + s)
-    H_ref = np.asarray(jnp.einsum("rnp,rnq,n->pq", J, J, w))
-    g_ref = np.asarray(jnp.einsum("rnp,rn,n->p", J, r, w))
+    # HIGHEST: on the real chip default-precision einsums run bf16 passes,
+    # which would corrupt the *reference* quantities (CPU is f32 exact)
+    H_ref = np.asarray(jnp.einsum("rnp,rnq,n->pq", J, J, w,
+                                  precision=jax.lax.Precision.HIGHEST))
+    g_ref = np.asarray(jnp.einsum("rnp,rn,n->p", J, r, w,
+                                  precision=jax.lax.Precision.HIGHEST))
     cost_ref = float(frustum_cost(theta, jnp.asarray(pc),
                                   jnp.asarray(labels), jnp.asarray(valid),
                                   jnp.asarray(K_np), H, W))
