@@ -59,6 +59,12 @@ def interpolate_inverse_dist(query: jax.Array, database: jax.Array,
     w = _weights(query, database, topk_idx, dist2)
     feat = database_features
     M = feat.shape[1]
+    # f32 features pin HIGHEST: on TPU the default precision runs matmuls
+    # as bf16 passes, rounding interpolated f32 features at 2^-8 (seen
+    # on-chip by test_interpolate_weights); the bf16 model path keeps the
+    # fast default (its activations carry bf16 precision anyway).
+    prec = (jax.lax.Precision.HIGHEST if feat.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     if M <= _DENSE_MAX_M:
         # dense-weight MXU path: scatter the k weights into (B, N, M) and
         # contract in one matmul (duplicate indices sum, which matches the
@@ -67,8 +73,9 @@ def interpolate_inverse_dist(query: jax.Array, database: jax.Array,
                   == jnp.arange(M, dtype=topk_idx.dtype)[None, None, None, :])
         wd = jnp.sum(w[..., None] * onehot, axis=2)         # (B, N, M)
         return jnp.einsum("bnm,bmc->bnc", wd.astype(feat.dtype), feat,
-                          preferred_element_type=jnp.float32
-                          ).astype(feat.dtype)
+                          preferred_element_type=jnp.float32,
+                          precision=prec).astype(feat.dtype)
     nb_feat = gather_knn(feat, topk_idx)                    # (B, N, k, C)
     return jnp.einsum("bnk,bnkc->bnc", w.astype(nb_feat.dtype), nb_feat,
-                      preferred_element_type=jnp.float32).astype(nb_feat.dtype)
+                      preferred_element_type=jnp.float32,
+                      precision=prec).astype(nb_feat.dtype)
