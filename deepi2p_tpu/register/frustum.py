@@ -56,7 +56,11 @@ def rodrigues(aa: jax.Array) -> jax.Array:
                    [k[2], 0.0, -k[0]],
                    [-k[1], k[0], 0.0]])
     s, c = jnp.sin(theta), jnp.cos(theta)
-    R = jnp.eye(3) + s * K + (1.0 - c) * (K @ K)
+    # HIGHEST: the 3x3 K@K otherwise runs as a bf16 pass on TPU, putting
+    # ~4e-4 of error in every rotation entry (seen on-chip by
+    # test_rodrigues_matches_scipy); a 3x3 matmul is free at any precision
+    KK = jnp.matmul(K, K, precision=jax.lax.Precision.HIGHEST)
+    R = jnp.eye(3) + s * K + (1.0 - c) * KK
     # near-zero fallback: first-order expansion
     R0 = jnp.eye(3) + jnp.array([[0.0, -aa[2], aa[1]],
                                  [aa[2], 0.0, -aa[0]],
