@@ -1,0 +1,47 @@
+"""Refresh the solver quality table at the FINAL bench config."""
+import sys, time
+sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/.axon_site")
+import numpy as np, jax, jax.numpy as jnp
+from deepi2p_tpu.ops.projection import project_points, coarse_labels
+from deepi2p_tpu.register import solve_frustum_batch, pose_diff_np
+
+H, W = 160, 512
+K_np = np.array([[300.0, 0, W / 2], [0, 300.0, H / 2], [0, 0, 1]], np.float32)
+N, B, NB = 20480, 8, 4
+
+def make(rng, noise):
+    yaw = rng.uniform(-np.pi, np.pi)
+    t = np.array([rng.uniform(-2, 2), 0.0, rng.uniform(-2, 2)], np.float32)
+    th = rng.uniform(0, 2 * np.pi, N); r = rng.uniform(5, 40, N)
+    pc = np.stack([r*np.cos(th), rng.uniform(-2,2,N), r*np.sin(th)], -1).astype(np.float32)
+    c, s = np.cos(yaw), np.sin(yaw)
+    P = np.eye(4, dtype=np.float32)
+    P[:3,:3] = [[c,0,s],[0,1,0],[-s,0,c]]; P[:3,3] = t
+    pxpy, z = project_points(jnp.asarray(pc[None]), jnp.asarray(P[None,:3]), jnp.asarray(K_np[None]))
+    lab = np.asarray(coarse_labels(pxpy, z, H, W))[0]
+    lab = np.where(rng.uniform(size=N) < noise, 1 - lab, lab)
+    return pc, lab.astype(np.float32), P
+
+def solve(pc, lab, K, carry):
+    r = jax.random.fold_in(jax.random.PRNGKey(0), carry.astype(jnp.int32))
+    P, cost = solve_frustum_batch(pc, lab, K, H=H, W=W, rng=r, n_inits=64,
+                                  max_iter=24, solver_stride=2)
+    return P, jnp.sum(cost)
+
+exe = None
+for noise in (0.10, 0.15, 0.25):
+    rng = np.random.default_rng(7)
+    ok, rtes, rres = 0, [], []
+    carry = jnp.zeros((), jnp.float32)
+    for nb in range(NB):
+        pcs, labs, Ps = zip(*[make(rng, noise) for _ in range(B)])
+        pc = jnp.asarray(np.stack(pcs)); lab = jnp.asarray(np.stack(labs))
+        K = jnp.asarray(np.tile(K_np, (B,1,1)))
+        if exe is None:
+            exe = jax.jit(solve).lower(pc, lab, K, carry).compile()
+        P_pred, carry = exe(pc, lab, K, carry)
+        P_pred = np.asarray(P_pred, np.float64)
+        for b in range(B):
+            rte, rre = pose_diff_np(P_pred[b], np.asarray(Ps[b], np.float64))
+            ok += (rte < 2.0 and rre < 5.0); rtes.append(rte); rres.append(rre)
+    print(f"noise={noise:.2f}: success {ok}/{B*NB}  rte_mean={np.mean(rtes):.2f}m rre_mean={np.mean(rres):.2f}deg", flush=True)
