@@ -80,6 +80,14 @@ class Config:
     vis_max_batch: int = 4
     seed: int = 0
 
+    # --- synthetic data ---------------------------------------------------
+    # "uniform": random box cloud (shape/smoke tests, bench).  "street":
+    # points on ground/facade/box surfaces — gives frustum membership a
+    # translation-sensitive structure, so end-to-end synthetic training
+    # can demonstrate full 4-DoF pose recovery (uniform clouds leave
+    # translation nearly unidentifiable from noisy membership).
+    synthetic_scene: str = "uniform"
+
     # --- compute ----------------------------------------------------------
     compute_dtype: str = "bfloat16"      # activations dtype on TPU
     remat: bool = False                  # rematerialise MLP activations

@@ -38,6 +38,54 @@ def _random_pose(rng: np.random.Generator, cfg: Config) -> np.ndarray:
     return P
 
 
+def _street_cloud(rng: np.random.Generator, n: int):
+    """Structured scene: points ON surfaces (ground plane, two street
+    facades, box obstacles), with true surface normals.
+
+    Translation identifiability: for a *uniform* cloud, shifting the
+    camera leaves the frustum-membership pattern statistically unchanged
+    (the cost is flat in t under label noise — measured in the round-2i
+    e2e runs, BENCH_NOTES.md).  Surfaces create large coherent label
+    blocks whose boundaries move rigidly with the camera, so the membership
+    cost pins all 4 DoF.
+    Returns (pc (n,3), sn (n,3)) float32; y is the vertical axis.
+    """
+    n_g = int(n * 0.4)
+    n_f = int(n * 0.4)
+    n_b = n - n_g - n_f
+    # ground plane y = +2 (camera at y=0)
+    g = np.stack([rng.uniform(-30, 30, n_g),
+                  2.0 + rng.normal(0, 0.05, n_g),
+                  rng.uniform(-40, 40, n_g)], axis=-1)
+    g_n = np.tile(np.array([0.0, -1.0, 0.0]), (n_g, 1))
+    # two facades x = -wl / +wr, full height
+    wl, wr = rng.uniform(8, 16), rng.uniform(8, 16)
+    left = rng.random(n_f) < 0.5
+    x = np.where(left, -wl, wr) + rng.normal(0, 0.05, n_f)
+    f = np.stack([x, rng.uniform(-6, 2, n_f),
+                  rng.uniform(-40, 40, n_f)], axis=-1)
+    f_n = np.stack([np.where(left, 1.0, -1.0), np.zeros(n_f),
+                    np.zeros(n_f)], axis=-1)
+    # box obstacles (cars): sample inside, push to the nearest face
+    nbox = 6
+    centers = np.stack([rng.uniform(-6, 6, nbox),
+                        np.full(nbox, 1.0),
+                        rng.uniform(-35, 35, nbox)], axis=-1)
+    sizes = rng.uniform(1.5, 4.0, (nbox, 3))
+    bi = rng.integers(0, nbox, n_b)
+    local = rng.uniform(-0.5, 0.5, (n_b, 3))
+    face_ax = np.argmax(np.abs(local), axis=1)
+    onehot = np.eye(3)[face_ax]
+    sign = np.sign(local[np.arange(n_b), face_ax])[:, None]
+    local = local * (1.0 - onehot) + 0.5 * sign * onehot
+    b = centers[bi] + local * sizes[bi]
+    b_n = (sign * onehot).astype(np.float64)
+    pc = np.concatenate([g, f, b]).astype(np.float32)
+    sn = np.concatenate([g_n, f_n, b_n]).astype(np.float32)
+    perm = rng.permutation(n)
+    return pc[perm], sn[perm]
+
+
 def synthetic_batch(cfg: Config, batch_size: int | None = None,
                     seed: int = 0) -> Dict[str, np.ndarray]:
     """A full training batch of synthetic data (numpy, host-side)."""
@@ -45,13 +93,18 @@ def synthetic_batch(cfg: Config, batch_size: int | None = None,
     B = batch_size or cfg.batch_size
     N, Ma, Mb = cfg.input_pt_num, cfg.node_a_num, cfg.node_b_num
 
-    # Points roughly in front of a camera at ~5..40 m, some behind/off-side.
-    pc = np.stack([rng.uniform(-30, 30, (B, N)),
-                   rng.uniform(-5, 5, (B, N)),
-                   rng.uniform(-10, 40, (B, N))], axis=-1).astype(np.float32)
+    if getattr(cfg, "synthetic_scene", "uniform") == "street":
+        clouds = [_street_cloud(rng, N) for _ in range(B)]
+        pc = np.stack([c[0] for c in clouds])
+        sn = np.stack([c[1] for c in clouds])
+    else:
+        # Points roughly in front of a camera at ~5..40 m, some behind.
+        pc = np.stack([rng.uniform(-30, 30, (B, N)),
+                       rng.uniform(-5, 5, (B, N)),
+                       rng.uniform(-10, 40, (B, N))], axis=-1).astype(np.float32)
+        sn = rng.normal(size=(B, N, 3)).astype(np.float32)
+        sn /= np.linalg.norm(sn, axis=-1, keepdims=True)
     intensity = rng.uniform(0, 1, (B, N, 1)).astype(np.float32)
-    sn = rng.normal(size=(B, N, 3)).astype(np.float32)
-    sn /= np.linalg.norm(sn, axis=-1, keepdims=True)
     node_idx_a = rng.choice(N, (B, Ma))
     node_idx_b = rng.choice(N, (B, Mb))
     node_a = np.take_along_axis(pc, node_idx_a[..., None], axis=1)

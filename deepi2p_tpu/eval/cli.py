@@ -35,6 +35,9 @@ def main(argv=None):
     d.add_argument("--max-batches", type=int, default=None)
     d.add_argument("--points", type=int, default=None)
     d.add_argument("--nodes", type=int, default=None)
+    d.add_argument("--synthetic-scene", default=None,
+                   choices=["uniform", "street"],
+                   help="synthetic cloud structure (see config.py)")
     d.add_argument("--dump-len", type=int, default=16,
                    help="synthetic dump set size")
 
@@ -81,6 +84,8 @@ def main(argv=None):
     if args.nodes:
         overrides["node_a_num"] = args.nodes
         overrides["node_b_num"] = args.nodes
+    if getattr(args, "synthetic_scene", None):
+        overrides["synthetic_scene"] = args.synthetic_scene
     cfg = maker(**overrides)
 
     if args.dataset == "synthetic":

@@ -62,6 +62,9 @@ def main(argv=None):
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--synthetic-len", type=int, default=32)
+    p.add_argument("--synthetic-scene", default=None,
+                   choices=["uniform", "street"],
+                   help="synthetic cloud structure (see config.py)")
     p.add_argument("--points", type=int, default=None,
                    help="override cfg.input_pt_num (synthetic experiments)")
     p.add_argument("--nodes", type=int, default=None,
@@ -83,6 +86,8 @@ def main(argv=None):
     if args.nodes:
         overrides["node_a_num"] = args.nodes
         overrides["node_b_num"] = args.nodes
+    if args.synthetic_scene:
+        overrides["synthetic_scene"] = args.synthetic_scene
     cfg = maker(**overrides)
     epochs = args.epochs if args.epochs is not None else cfg.epochs
 

@@ -469,3 +469,40 @@ def test_kitti_prep_pipeline(tmp_path, rng):
                                    str(tmp_path / "imgframe.npy"),
                                    Pc, K, (80, 100), voxel=0.5)
     assert m > 0
+
+
+def test_street_scene_structure_and_oracle_solvability():
+    """The structured synthetic scene (surfaces, true normals) produces
+    sane labels AND a GT-label frustum solve recovers the pose — i.e.
+    translation is identifiable, unlike the uniform box cloud (see
+    BENCH_NOTES round-2i e2e analysis)."""
+    import jax
+    import jax.numpy as jnp
+    from deepi2p_tpu import config
+    from deepi2p_tpu.data import synthetic_batch
+    from deepi2p_tpu.ops.projection import project_points, coarse_labels
+    from deepi2p_tpu.register import solve_frustum_batch, pose_diff_np
+
+    cfg = config.tiny(synthetic_scene="street", input_pt_num=4096,
+                      batch_size=2)
+    b = synthetic_batch(cfg, seed=3)
+    pc = b["pc"]
+    assert np.isfinite(pc).all()
+    # normals are unit and axis-aligned-ish (surfaces)
+    assert np.allclose(np.linalg.norm(b["sn"], axis=-1), 1.0, atol=1e-5)
+    pxpy, z = project_points(jnp.asarray(pc), jnp.asarray(b["P"]),
+                             jnp.asarray(b["K"]))
+    lab = np.asarray(coarse_labels(pxpy, z, cfg.img_H, cfg.img_W))
+    frac = lab.mean(axis=1)
+    assert (frac > 0.01).all() and (frac < 0.9).all(), frac
+
+    P_pred, _ = solve_frustum_batch(
+        jnp.asarray(pc), jnp.asarray(lab.astype(np.float32)),
+        jnp.asarray(b["K"]), H=cfg.img_H, W=cfg.img_W,
+        rng=jax.random.PRNGKey(0), n_inits=16, max_iter=48)
+    ok = 0
+    for i in range(pc.shape[0]):
+        P_gt = np.eye(4); P_gt[:3] = b["P"][i]
+        rte, rre = pose_diff_np(np.asarray(P_pred[i], np.float64), P_gt)
+        ok += (rte < 2.0 and rre < 5.0)
+    assert ok >= 1, "street-scene oracle solve failed on both pairs"
