@@ -87,8 +87,16 @@ def _street_cloud(rng: np.random.Generator, n: int):
 
 
 def synthetic_batch(cfg: Config, batch_size: int | None = None,
-                    seed: int = 0) -> Dict[str, np.ndarray]:
-    """A full training batch of synthetic data (numpy, host-side)."""
+                    seed: int = 0, with_depth: bool = False
+                    ) -> Dict[str, np.ndarray]:
+    """A full training batch of synthetic data (numpy, host-side).
+
+    ``with_depth=True`` adds a ``depth`` key (B, H, W) float32: the
+    z-buffered GT depth of the rendered points, 0 where no point projects
+    — the training target for the monocular depth net that feeds the ICP
+    pipeline (the reference's monodepth2 stage,
+    ``evaluation/icp/save_depth_map.py:60-102``).
+    """
     rng = np.random.default_rng(seed)
     B = batch_size or cfg.batch_size
     N, Ma, Mb = cfg.input_pt_num, cfg.node_a_num, cfg.node_b_num
@@ -121,6 +129,8 @@ def synthetic_batch(cfg: Config, batch_size: int | None = None,
     # cross-modal task, not just the machinery (a pure-noise image makes
     # the coarse labels information-theoretically unpredictable).
     img = rng.uniform(0, 60, (B, cfg.img_H, cfg.img_W, 3)).astype(np.float32)
+    depth_gt = (np.zeros((B, cfg.img_H, cfg.img_W), np.float32)
+                if with_depth else None)
     for b in range(B):
         cam = pc[b] @ P[b, :3, :3].T + P[b, :3, 3]
         z = cam[:, 2]
@@ -130,30 +140,62 @@ def synthetic_batch(cfg: Config, batch_size: int | None = None,
         v = (K[b, 1, 1] * cam[:, 1] / np.where(front, z, 1.0)
              + K[b, 1, 2]).astype(np.int32)
         m = front & (u >= 0) & (u < cfg.img_W) & (v >= 0) & (v < cfg.img_H)
-        depth_c = np.clip(255.0 * 5.0 / np.maximum(z, 1.0), 0, 255)
-        img[b, v[m], u[m], 0] = depth_c[m]
-        img[b, v[m], u[m], 1] = intensity[b, m, 0] * 255.0
-        img[b, v[m], u[m], 2] = 128.0
+        # z-buffer: splat far-to-near so the NEAREST point wins every pixel
+        # collision deterministically (an arbitrary-order splat leaves
+        # random winners wherever points overlap, i.e. inconsistent image
+        # evidence for the classifier to learn from).
+        order = np.argsort(-z[m], kind="stable")
+        vi, ui, zi = v[m][order], u[m][order], z[m][order]
+        ii = intensity[b, m, 0][order]
+        depth_c = np.clip(255.0 * 5.0 / np.maximum(zi, 1.0), 0, 255)
+        img[b, vi, ui, 0] = depth_c
+        img[b, vi, ui, 1] = ii * 255.0
+        img[b, vi, ui, 2] = 128.0
+        if depth_gt is not None:
+            depth_gt[b, vi, ui] = zi
 
-    return dict(pc=pc, intensity=intensity, sn=sn, node_a=node_a,
-                node_b=node_b, P=P.astype(np.float32), img=img, K=K)
+    out = dict(pc=pc, intensity=intensity, sn=sn, node_a=node_a,
+               node_b=node_b, P=P.astype(np.float32), img=img, K=K)
+    if depth_gt is not None:
+        out["depth"] = depth_gt
+    return out
 
 
 class SyntheticDataset:
-    """Iterable of synthetic batches (for smoke-training runs)."""
+    """Iterable of synthetic batches (for smoke-training runs).
 
-    def __init__(self, cfg: Config, length: int = 16, seed: int = 0):
+    ``fresh=True`` makes the generator *procedural over epochs*: after
+    ``set_epoch(e)`` every index maps to a never-seen-before scene, so a
+    training run draws ``epochs x length`` distinct scenes instead of
+    re-iterating a finite set — the round-2 street-scene runs memorized
+    2048 fixed scenes (train 0.96 / val 0.77 coarse accuracy); fresh
+    scenes are what the infinite-data regime of the reference's 100k+
+    real pairs looks like synthetically.
+    """
+
+    def __init__(self, cfg: Config, length: int = 16, seed: int = 0,
+                 fresh: bool = False):
         self.cfg, self.length, self.seed = cfg, length, seed
+        self.fresh = fresh
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = int(epoch) if self.fresh else 0
+
+    def _seed(self, i: int) -> int:
+        # disjoint seed spaces: dataset seed picks a 2^40-wide block,
+        # (epoch, index) walks inside it — no train/val collisions even
+        # over very long fresh-scene runs.
+        return (self.seed << 40) + self.epoch * self.length + i
 
     def __len__(self):
         return self.length
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         """A single sample (unbatched) — for BatchLoader compatibility."""
-        b = synthetic_batch(self.cfg, batch_size=1,
-                            seed=self.seed * 100003 + i)
+        b = synthetic_batch(self.cfg, batch_size=1, seed=self._seed(i))
         return {k: v[0] for k, v in b.items()}
 
     def __iter__(self):
         for i in range(self.length):
-            yield synthetic_batch(self.cfg, seed=self.seed * 100003 + i)
+            yield synthetic_batch(self.cfg, seed=self._seed(i))

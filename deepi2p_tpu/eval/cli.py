@@ -40,6 +40,17 @@ def main(argv=None):
                    help="synthetic cloud structure (see config.py)")
     d.add_argument("--dump-len", type=int, default=16,
                    help="synthetic dump set size")
+    d.add_argument("--save-images", action="store_true",
+                   help="also save {prefix}_img.npy (enables depth-dump)")
+
+    dd = sub.add_parser("depth-dump",
+                        help="estimated-depth pseudo point clouds for ICP "
+                             "(the reference's save_depth_map.py stage)")
+    dd.add_argument("--data-dir", required=True,
+                    help="dump dir containing {prefix}_img.npy + _K.npy")
+    dd.add_argument("--depth-checkpoint", required=True)
+    dd.add_argument("--out", required=True)
+    dd.add_argument("--stride", type=int, default=4)
 
     s = sub.add_parser("solve", help="registration over a dump directory")
     s.add_argument("--data-dir", required=True)
@@ -55,6 +66,28 @@ def main(argv=None):
     s.add_argument("--pseudo-dir", default=None)
     s.add_argument("--save-dir", default=None)
     args = p.parse_args(argv)
+
+    if args.cmd == "depth-dump":
+        import os
+        import numpy as np
+        from .. import config as config_mod
+        from ..train.depth_cli import load_depth_fn
+        from .depth import dump_pseudo_pointclouds
+        from .dump import list_dump_prefixes
+
+        cfg = config_mod.tiny()
+        depth_fn = load_depth_fn(args.depth_checkpoint, cfg)
+        n = 0
+        for prefix in list_dump_prefixes(args.data_dir):
+            img_path = os.path.join(args.data_dir, prefix + "_img.npy")
+            if not os.path.isfile(img_path):
+                continue
+            K = np.load(os.path.join(args.data_dir, prefix + "_K.npy"))
+            n += dump_pseudo_pointclouds([(prefix, np.load(img_path))], K,
+                                         depth_fn, args.out,
+                                         stride=args.stride)
+        print(json.dumps({"pseudo_clouds": n, "out": args.out}))
+        return n
 
     if args.cmd == "solve":
         from .harness import evaluate_registration
@@ -114,7 +147,8 @@ def main(argv=None):
         mgr.close()
     coarse_acc, fine_acc = dump_predictions(engine, state, iter(loader), cfg,
                                             args.out,
-                                            max_batches=args.max_batches)
+                                            max_batches=args.max_batches,
+                                            save_images=args.save_images)
     print(json.dumps({"coarse_accuracy": coarse_acc,
                       "fine_accuracy": fine_acc}))
 

@@ -64,7 +64,8 @@ def list_dump_prefixes(data_dir: str):
 
 def dump_predictions(engine, state, batches: Iterator[Dict], cfg: Config,
                      out_dir: str, *, max_batches: Optional[int] = None,
-                     viz_dir: Optional[str] = None):
+                     viz_dir: Optional[str] = None,
+                     save_images: bool = False):
     """Run inference over ``batches`` and write per-sample dumps.
 
     ``viz_dir`` additionally saves the ``{id}_img.png`` input image and the
@@ -108,6 +109,13 @@ def dump_predictions(engine, state, batches: Iterator[Dict], cfg: Config,
                              fine_label=fine_lab[b],
                              K=np.asarray(batch["K"][b]),
                              P=np.asarray(batch["P"][b]))
+            if save_images:
+                # input image alongside the dump: lets a depth estimator
+                # (eval.cli depth-dump) run from the dump directory alone,
+                # like the reference's save_depth_map.py reads the eval
+                # split's images
+                np.save(os.path.join(out_dir, prefix + "_img.npy"),
+                        np.asarray(batch["img"][b], np.float32))
             if viz_dir:
                 import cv2
                 from ..utils.vis import classification_overlay

@@ -55,6 +55,12 @@ def knn(query: jax.Array, database: jax.Array, k: int, *,
     same results, no HBM (B, N, M) materialisation, direct (db - q)^2
     distances (the reference's own formulation).
 
+    Gradient contract: ``dist2`` is only guaranteed differentiable w.r.t.
+    the inputs on the XLA path; the Pallas kernel stop-gradients it, so on
+    single-device TPU the returned distances must be treated as data.  All
+    in-repo call sites consume coordinates (no tangents), but a future
+    param-dependent query must not rely on gradients through ``knn``.
+
     Args:
       query: (B, N, D); database: (B, M, D).
     Returns:

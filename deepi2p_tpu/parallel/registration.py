@@ -73,12 +73,14 @@ def make_sharded_registration(mesh: Mesh, apply_fn, *, H: int, W: int,
         fn = shard_map(per_shard, mesh=mesh, in_specs=data_specs,
                        out_specs=(P("data"), P("data")), check_rep=False)
 
+    jitted = jax.jit(fn)
+
     @functools.wraps(fn)
     def step(variables, batch, keys):
         # the per-shard body uses Pallas kernels where the backend allows —
         # legal under shard_map's manual sharding even on a multi-chip mesh
         with force_pallas():
-            return jax.jit(fn)(variables, batch, keys)
+            return jitted(variables, batch, keys)
 
     return step
 

@@ -362,8 +362,10 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng=None,
 
     if backend == "pallas":
         # successive halving, same policy as the XLA path below: probe
-        # every init for a few iterations, then spend the remaining budget
-        # on the best quarter.  Both kernel launches live in ONE jitted
+        # every init for a few iterations on a probe_stride point subsample
+        # (ranking only), then spend the remaining budget on the best
+        # eighth (I // 8 by default, see `keep` below), refined on the full
+        # point set.  Both kernel launches live in ONE jitted
         # program, so the second launch costs no extra dispatch; the
         # iteration work drops to probe*I + (max_iter-probe)*I/4.
         from .frustum_pallas import lm_solve_pallas

@@ -217,11 +217,17 @@ def _solve_pnp_impl(pc, coarse_pred, fine_pred, K, rng, *, W_fine,
     # -- hypothesis sampling: gumbel-top-k over inside points ------------
     # approx_max_k: TPU-optimised partial reduction instead of a full
     # 500 x N sort; positions are distinct and the draw stays a uniform
-    # random inside-subset (recall ~0.95 only perturbs WHICH random subset
-    # is drawn, not its validity).  Exact on CPU (falls back to top_k).
+    # random inside-subset.  Two-stage draw (approximate 4x-oversampled
+    # candidate pull + tiny exact top_k within the candidates) keeps the
+    # true top-min_set recall ~1 even when the inside set is sparse, so a
+    # small inside count cannot silently substitute mask=0 points
+    # (score ~ -46+gumbel) into the hypothesis sets.
     g = jax.random.gumbel(rng, (n_hypotheses, pc.shape[0]))
     scores = jnp.log(jnp.maximum(mask, 1e-20))[None, :] + g
-    _, subset_idx = jax.lax.approx_max_k(scores, min_set)  # (Hyp, min_set)
+    cand = min(4 * min_set, pc.shape[0])
+    c_score, c_idx = jax.lax.approx_max_k(scores, cand)
+    _, sel = jax.lax.top_k(c_score, min_set)
+    subset_idx = jnp.take_along_axis(c_idx, sel, axis=1)  # (Hyp, min_set)
 
     def hypo(idx):
         R, t = _dlt_pose(pc[idx], uv[idx], K_inv)

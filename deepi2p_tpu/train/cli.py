@@ -28,7 +28,8 @@ from ..utils.logging import MetricsLogger
 
 def build_loaders(cfg, args):
     if args.dataset == "synthetic":
-        train = SyntheticDataset(cfg, length=args.synthetic_len, seed=0)
+        train = SyntheticDataset(cfg, length=args.synthetic_len, seed=0,
+                                 fresh=args.fresh_scenes)
         val = SyntheticDataset(cfg, length=max(args.synthetic_len // 4, 1),
                                seed=1)
         return train, val
@@ -62,6 +63,9 @@ def main(argv=None):
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--synthetic-len", type=int, default=32)
+    p.add_argument("--fresh-scenes", action="store_true",
+                   help="synthetic: a never-seen scene per (epoch, index) "
+                        "instead of re-iterating a finite set")
     p.add_argument("--synthetic-scene", default=None,
                    choices=["uniform", "street"],
                    help="synthetic cloud structure (see config.py)")
@@ -114,6 +118,8 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(epochs):
         t_epoch = time.time()
+        if hasattr(train_ds, "set_epoch"):
+            train_ds.set_epoch(epoch)
         loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True,
                              num_workers=args.workers,
                              seed=args.seed + epoch)
