@@ -13,14 +13,15 @@ carried through, and write the traversal layout consumed by
                       lms_front/<ts>.npy (4xN: xyz + reflectance),
                       stereo/centre/<ts>.jpg
 
-Only the camera-image *decode* (Bayer demosaic + undistortion, which needs
-the RobotCar camera-model LUT files) is delegated to a narrow ``sdk``
-interface (see :class:`SdkInterface`); every other stage — VO csv parsing,
-SE(3) pose integration and interpolation, LMS ``.bin`` scan decoding,
-ground removal, accumulation, voxel downsampling, per-2 m sampling,
-velocity filtering, resumable layout writing, night-traversal filtering and
-the multi-process fan-out — is implemented here from first principles
-(``build_dataset.py:249-390, 402-493``).
+Every stage — VO csv parsing, SE(3) pose integration and interpolation,
+LMS ``.bin`` scan decoding, ground removal, accumulation, voxel
+downsampling, per-2 m sampling, velocity filtering, Bayer demosaicing,
+LUT undistortion (:mod:`.oxford_image`), resumable layout writing,
+night-traversal filtering and the multi-process fan-out — is implemented
+from first principles (``build_dataset.py:249-390, 402-493``).  The only
+external inputs are files: the raw dataset, the SDK ``extrinsics/*.txt``
+and, for undistortion, the camera-model LUT binary (see
+:class:`SdkInterface` / :func:`sdk_from_extrinsics`).
 """
 from __future__ import annotations
 
@@ -287,12 +288,23 @@ class SdkInterface:
 
 
 def sdk_from_extrinsics(extrinsics_dir: str,
-                        load_image: Callable[[str], np.ndarray],
+                        load_image: Optional[Callable[[str], np.ndarray]]
+                        = None,
                         camera: str = "stereo",
                         lidar: str = "lms_front",
-                        G_camera_image: Optional[np.ndarray] = None
-                        ) -> SdkInterface:
-    """Build the interface from SDK-format extrinsics txt files."""
+                        G_camera_image: Optional[np.ndarray] = None,
+                        lut_path: Optional[str] = None) -> SdkInterface:
+    """Build the interface from SDK-format extrinsics txt files.
+
+    With ``load_image=None`` the first-principles decoder is used
+    (:mod:`.oxford_image`: Bayer demosaic + optional LUT undistortion), so
+    the external surface shrinks to pure file reads — the extrinsics txt
+    and, optionally, the camera-model LUT binary."""
+    if load_image is None:
+        from .oxford_image import BAYER_STEREO, BAYER_MONO, make_load_image
+        pattern = BAYER_STEREO if "stereo" in camera else BAYER_MONO
+        load_image = make_load_image(lut_path=lut_path, pattern=pattern)
+
     def read(name):
         with open(os.path.join(extrinsics_dir, name + ".txt")) as f:
             return build_se3_transform([float(x) for x in next(f).split()])

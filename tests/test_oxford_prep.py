@@ -230,3 +230,106 @@ def test_downsample_preserves_reflectance_range(rng):
     assert cloud.shape[0] == 4 and cloud.shape[1] < 2000
     assert r.shape == (cloud.shape[1],)
     assert r.min() >= 10 - 1e-6 and r.max() <= 20 + 1e-6
+
+
+# --------------------------------------------------------------------------
+# first-principles image decode (oxford_image.py; the reference delegates
+# to the robotcar SDK's demosaic + LUT undistort, build_dataset.py:356-378)
+# --------------------------------------------------------------------------
+
+def _mosaic(rgb, pattern):
+    """Synthetically Bayer-mosaic an RGB image."""
+    H, W, _ = rgb.shape
+    raw = np.zeros((H, W), np.float32)
+    for idx, ch in enumerate(pattern):
+        r, c = divmod(idx, 2)
+        raw[r::2, c::2] = rgb[r::2, c::2, "rgb".index(ch)]
+    return raw
+
+
+def test_demosaic_golden_smooth_image(rng):
+    """On a smooth image, bilinear demosaic of its own mosaic recovers it
+    (away from borders) to within interpolation error."""
+    from deepi2p_tpu.data.prep.oxford_image import demosaic
+
+    H, W = 64, 80
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    rgb = np.stack([100 + 50 * np.sin(xx / 17.0),
+                    120 + 40 * np.cos(yy / 13.0),
+                    90 + 30 * np.sin((xx + yy) / 23.0)], axis=-1)
+    for pattern in ("gbrg", "rggb"):
+        out = demosaic(_mosaic(rgb, pattern), pattern)
+        err = np.abs(out[4:-4, 4:-4] - rgb[4:-4, 4:-4])
+        assert err.max() < 2.0, (pattern, err.max())
+
+
+def test_demosaic_preserves_known_samples(rng):
+    from deepi2p_tpu.data.prep.oxford_image import demosaic
+
+    raw = rng.integers(0, 255, (32, 32)).astype(np.float32)
+    out = demosaic(raw, "gbrg")
+    # gbrg: G at (0,0) and (1,1); B at (0,1); R at (1,0) of each 2x2 tile
+    np.testing.assert_array_equal(out[0::2, 0::2, 1], raw[0::2, 0::2])
+    np.testing.assert_array_equal(out[1::2, 1::2, 1], raw[1::2, 1::2])
+    np.testing.assert_array_equal(out[0::2, 1::2, 2], raw[0::2, 1::2])
+    np.testing.assert_array_equal(out[1::2, 0::2, 0], raw[1::2, 0::2])
+
+
+def test_undistort_lut_roundtrip(tmp_path, rng):
+    """Identity LUT reproduces the image; an integer-shift LUT shifts it —
+    the SDK's map_coordinates(order=1) semantics."""
+    from deepi2p_tpu.data.prep.oxford_image import (read_distortion_lut,
+                                                    undistort)
+
+    H, W = 24, 30
+    img = rng.integers(0, 255, (H, W, 3)).astype(np.float32)
+    u, v = np.meshgrid(np.arange(W, dtype=np.float64),
+                       np.arange(H, dtype=np.float64))
+    lut_path = tmp_path / "identity.bin"
+    np.stack([u.ravel(), v.ravel()]).astype(np.double).tofile(lut_path)
+    mu, mv = read_distortion_lut(str(lut_path), (H, W))
+    np.testing.assert_allclose(undistort(img, mu, mv), img, atol=1e-4)
+
+    shift_path = tmp_path / "shift.bin"
+    np.stack([(u + 3).ravel(), v.ravel()]).astype(np.double).tofile(
+        shift_path)
+    mu, mv = read_distortion_lut(str(shift_path), (H, W))
+    out = undistort(img, mu, mv)
+    np.testing.assert_allclose(out[:, :-3], img[:, 3:], atol=1e-4)
+
+
+def test_make_load_image_end_to_end(tmp_path, rng):
+    """raw Bayer PNG + LUT file -> decoded RGB via the default
+    SdkInterface decoder (no callable injected)."""
+    import cv2
+    from deepi2p_tpu.data.prep.oxford_image import make_load_image
+
+    H, W = 32, 40
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    rgb = np.stack([100 + 50 * np.sin(xx / 11.0),
+                    120 + 40 * np.cos(yy / 7.0),
+                    90 + 30 * np.sin((xx + yy) / 13.0)], axis=-1)
+    raw = _mosaic(rgb, "gbrg").astype(np.uint8)
+    png = str(tmp_path / "t.png")
+    assert cv2.imwrite(png, raw)
+
+    u, v = np.meshgrid(np.arange(W, dtype=np.float64),
+                       np.arange(H, dtype=np.float64))
+    lut = str(tmp_path / "lut.bin")
+    np.stack([u.ravel(), v.ravel()]).astype(np.double).tofile(lut)
+
+    load = make_load_image(lut_path=lut, pattern="gbrg")
+    out = load(png)
+    assert out.shape == (H, W, 3) and out.dtype == np.uint8
+    err = np.abs(out[4:-4, 4:-4].astype(np.float32) -
+                 np.clip(rgb[4:-4, 4:-4], 0, 255).astype(np.uint8))
+    assert err.max() <= 3.0
+
+    # default sdk_from_extrinsics builds this decoder when none is given
+    from deepi2p_tpu.data.prep.oxford_prep import sdk_from_extrinsics
+    ext = tmp_path / "extrinsics"; ext.mkdir()
+    for name in ("stereo", "lms_front"):
+        (ext / f"{name}.txt").write_text("0 0 0 0 0 0\n")
+    sdk = sdk_from_extrinsics(str(ext), lut_path=lut)
+    out2 = sdk.load_image(png)
+    np.testing.assert_array_equal(out, out2)
