@@ -244,3 +244,78 @@ def test_solver_3d_mode(rng):
         n_inits=8, max_iter=32, is_2d=False,
         t_lb=(-5.0, -1.0, -10.0), t_ub=(5.0, 1.0, 10.0))
     assert np.isfinite(float(cost[0]))
+
+
+def test_structured_noise_gate(rng):
+    """Clustered-noise quality gate (VERDICT r2 weak #4): the i.i.d. noise
+    of the original gate is friendly — real classifier errors cluster
+    (whole angular sectors, frustum-border bands).  CPU bisect at N=4096
+    (round 3): under 3/32 flipped sectors (~9% marginal rate) the lossy
+    bench knob is solver_stride (stride2: 3/8, stride1: 5/8 at 64 inits,
+    24 iters; generous budget 6/8 — the rest is noise-limited).  Gate the
+    stride-1 config; bench-scale numbers live in
+    scripts/quality_table_structured.py output (BENCH_NOTES round 3)."""
+    from deepi2p_tpu.register.noise import flip_sectors
+
+    B = 8
+    rng = np.random.default_rng(11)
+    pcs, labs, Ps = [], [], []
+    for b in range(B):
+        yaw = rng.uniform(-np.pi, np.pi)
+        t = np.array([rng.uniform(-2, 2), 0.0, rng.uniform(-2, 2)],
+                     np.float32)
+        pc, labels, P = _make_problem(rng, yaw, t, n=4096)
+        labels = flip_sectors(rng, pc, labels, n_sectors=32, n_flipped=3)
+        pcs.append(pc); labs.append(labels); Ps.append(P)
+    pc = jnp.asarray(np.stack(pcs))
+    labels = jnp.asarray(np.stack(labs).astype(np.float32))
+    K = jnp.asarray(np.tile(K_np, (B, 1, 1)))
+    P_pred, _ = solve_frustum_batch(pc, labels, K, H=H, W=W,
+                                    rng=jax.random.PRNGKey(0),
+                                    n_inits=64, max_iter=24,
+                                    solver_stride=1)
+    ok = 0
+    for b in range(B):
+        rte, rre = pose_diff_np(np.asarray(P_pred[b], np.float64),
+                                np.asarray(Ps[b], np.float64))
+        ok += (rte < 2.0 and rre < 5.0)
+    # measured 5/8 at this seed (stride 1); >=4 leaves cross-backend slack
+    assert ok >= 4, f"success {ok}/{B} under sector noise at stride 1"
+
+
+def test_noise_models_sane(rng):
+    """Structured corruption models: marginal rates in the expected band,
+    errors actually clustered (sector), concentrated at the frustum edge
+    (border)."""
+    from deepi2p_tpu.register.noise import (flip_iid, flip_sectors,
+                                            flip_border_band, error_rate)
+
+    rng = np.random.default_rng(3)
+    yaw, t = 0.4, np.array([1.0, 0.0, -1.0], np.float32)
+    pc, labels, P = _make_problem(rng, yaw, t, n=8192)
+
+    iid = flip_iid(rng, labels, 0.10)
+    assert 0.07 < error_rate(labels, iid) < 0.13
+
+    sec = flip_sectors(rng, pc, labels, n_sectors=32, n_flipped=3)
+    r = error_rate(labels, sec)
+    assert 0.04 < r < 0.15
+    # clustered: flipped points live in exactly 3 of 32 azimuth sectors
+    az = np.arctan2(pc[:, 0], pc[:, 2])
+    sector = ((az + np.pi) / (2 * np.pi) * 32).astype(int) % 32
+    assert len(np.unique(sector[labels != sec])) == 3
+
+    bor = flip_border_band(rng, labels, pc, P, K_np, H, W,
+                           band_px=40.0, rate=0.5)
+    changed = labels != bor
+    assert changed.sum() > 20
+    # every flipped point projects within the band around the image rect
+    R_, t_ = P[:3, :3], P[:3, 3]
+    cam = pc[changed] @ R_.T + t_
+    px = K_np[0, 0] * cam[:, 0] / cam[:, 2] + K_np[0, 2]
+    py = K_np[1, 1] * cam[:, 1] / cam[:, 2] + K_np[1, 2]
+    dx = np.maximum(-px, px - (W - 1))
+    dy = np.maximum(-py, py - (H - 1))
+    d = np.where((dx <= 0) & (dy <= 0), np.maximum(dx, dy),
+                 np.hypot(np.maximum(dx, 0), np.maximum(dy, 0)))
+    assert (np.abs(d) < 40.0).all()
