@@ -65,6 +65,10 @@ def main(argv=None):
                    help="solve from GT labels (oracle mode)")
     s.add_argument("--pseudo-dir", default=None)
     s.add_argument("--save-dir", default=None)
+    s.add_argument("--debug-vis", default=None, metavar="DIR",
+                   help="write per-sample solver debug images (trace, "
+                        "TP/FP/FN scene, iteration overlay) to DIR")
+    s.add_argument("--debug-vis-max", type=int, default=4)
     args = p.parse_args(argv)
 
     if args.cmd == "depth-dump":
@@ -96,6 +100,14 @@ def main(argv=None):
             stride=args.stride, n_inits=args.n_inits, max_iter=args.max_iter,
             use_labels=args.use_labels, pseudo_dir=args.pseudo_dir,
             save_dir=args.save_dir)
+        if args.debug_vis:
+            from .debug_vis import debug_report
+            from .dump import list_dump_prefixes
+            for p in list_dump_prefixes(args.data_dir)[:args.debug_vis_max]:
+                r = debug_report(args.data_dir, p, H=args.img_h,
+                                 W=args.img_w, out_dir=args.debug_vis,
+                                 use_labels=args.use_labels)
+                print(json.dumps({"debug_vis": r}))
         print(json.dumps(summ, indent=2))
         return summ
 

@@ -218,3 +218,42 @@ def test_fps_approximate(rng):
     pc = rng.normal(scale=5, size=(500, 3)).astype(np.float32)
     nodes = fps_approximate_np(pc, 2.0, 32, rng)
     assert nodes.shape == (32, 3)
+
+
+def test_debug_report_writes_images(rng, tmp_path):
+    """End-to-end debug_vis over a fabricated dump directory: trace,
+    TP/FP/FN scene and iteration-overlay PNGs are written and the summary
+    carries finite RTE/RRE (eval.cli solve --debug-vis path)."""
+    import os
+    from deepi2p_tpu.eval.debug_vis import debug_report
+    from deepi2p_tpu.eval.dump import save_sample_dump
+    from deepi2p_tpu.ops.projection import project_points, coarse_labels
+
+    H, W = 64, 96
+    K = np.array([[50.0, 0, 48], [0, 50, 32], [0, 0, 1]], np.float32)
+    n = 256
+    th = rng.uniform(0, 2 * np.pi, n)
+    r = rng.uniform(5, 20, n)
+    pc = np.stack([r * np.cos(th), rng.uniform(-1, 1, n),
+                   r * np.sin(th)], -1).astype(np.float32)
+    P = np.eye(4, dtype=np.float32)
+    pxpy, z = project_points(jnp.asarray(pc[None]), jnp.asarray(P[None, :3]),
+                             jnp.asarray(K[None]))
+    from deepi2p_tpu.ops import projection as proj_mod
+    labels = np.asarray(proj_mod.coarse_labels(pxpy, z, H, W))[0]
+
+    dump_dir = str(tmp_path / "dump")
+    os.makedirs(dump_dir)
+    save_sample_dump(dump_dir, "000000_00", pc=pc, coarse_pred=labels,
+                     coarse_label=labels, fine_pred=np.zeros(n),
+                     fine_label=np.zeros(n), K=K, P=P[:3])
+    np.save(os.path.join(dump_dir, "000000_00_img.npy"),
+            rng.uniform(0, 255, (H, W, 3)).astype(np.float32))
+
+    out_dir = str(tmp_path / "vis")
+    rep = debug_report(dump_dir, "000000_00", H=H, W=W, out_dir=out_dir,
+                       n_steps=6)
+    assert np.isfinite(rep["rte"]) and np.isfinite(rep["rre"])
+    for suffix in ("_trace.png", "_scene.png", "_overlay.png"):
+        f = os.path.join(out_dir, "000000_00" + suffix)
+        assert os.path.isfile(f) and os.path.getsize(f) > 1000, f
