@@ -113,12 +113,32 @@ def synthetic_batch(cfg: Config, batch_size: int | None = None,
         sn = rng.normal(size=(B, N, 3)).astype(np.float32)
         sn /= np.linalg.norm(sn, axis=-1, keepdims=True)
     intensity = rng.uniform(0, 1, (B, N, 1)).astype(np.float32)
+
+    # draw the pose in camera convention; for nuScenes the configured
+    # rotation axis is ENU-z (nuscenes_t/options.py:42), which IS camera-y
+    # after the convention change below — so draw it as camera yaw here.
+    pose_cfg = cfg if cfg.dataset != "nuscenes" else cfg.replace(
+        P_Ry_amplitude=cfg.P_Rz_amplitude, P_Rz_amplitude=0.0)
+    P = np.stack([_random_pose(rng, pose_cfg)[:3] for _ in range(B)])
+    if cfg.dataset == "nuscenes":
+        # nuScenes clouds live in ENU (z up) and the random rotation is
+        # about z (``nuscenes_t/options.py:42``); the eval path converts
+        # back with enu2cam (``registration_lsq.py:237-248``).  Generate
+        # in camera convention (above), then re-express cloud+pose in ENU:
+        # pc_cam = pc_enu @ C3.T  and  P_cam = P_enu @ C^-1, so the
+        # projected geometry — and therefore the labels — is unchanged.
+        C = np.array([[1, 0, 0, 0], [0, 0, -1, 0],
+                      [0, 1, 0, 0], [0, 0, 0, 1]], np.float32)
+        pc = pc @ C[:3, :3]
+        sn = sn @ C[:3, :3]
+        P4 = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        P4[:, :3] = P
+        P = (P4 @ C[None])[:, :3]
+
     node_idx_a = rng.choice(N, (B, Ma))
     node_idx_b = rng.choice(N, (B, Mb))
     node_a = np.take_along_axis(pc, node_idx_a[..., None], axis=1)
     node_b = np.take_along_axis(pc, node_idx_b[..., None], axis=1)
-
-    P = np.stack([_random_pose(rng, cfg)[:3] for _ in range(B)])
     f = 0.6 * cfg.img_W
     K = np.tile(np.array([[f, 0, cfg.img_W / 2],
                           [0, f, cfg.img_H / 2],

@@ -38,6 +38,10 @@ def main(argv=None):
     d.add_argument("--synthetic-scene", default=None,
                    choices=["uniform", "street"],
                    help="synthetic cloud structure (see config.py)")
+    d.add_argument("--synthetic-preset", default="tiny",
+                   choices=["tiny", "kitti", "oxford", "nuscenes"],
+                   help="config preset for --dataset synthetic (must match "
+                        "the training preset)")
     d.add_argument("--dump-len", type=int, default=16,
                    help="synthetic dump set size")
     d.add_argument("--save-images", action="store_true",
@@ -65,6 +69,9 @@ def main(argv=None):
                    help="solve from GT labels (oracle mode)")
     s.add_argument("--pseudo-dir", default=None)
     s.add_argument("--save-dir", default=None)
+    s.add_argument("--enu2cam", action="store_true",
+                   help="convert ENU dumps (nuScenes) to camera convention "
+                        "before solving (registration_lsq.py:237-248)")
     s.add_argument("--debug-vis", default=None, metavar="DIR",
                    help="write per-sample solver debug images (trace, "
                         "TP/FP/FN scene, iteration overlay) to DIR")
@@ -99,7 +106,7 @@ def main(argv=None):
             args.data_dir, method=args.method, H=args.img_h, W=args.img_w,
             stride=args.stride, n_inits=args.n_inits, max_iter=args.max_iter,
             use_labels=args.use_labels, pseudo_dir=args.pseudo_dir,
-            save_dir=args.save_dir)
+            save_dir=args.save_dir, enu2cam=args.enu2cam)
         if args.debug_vis:
             from .debug_vis import debug_report
             from .dump import list_dump_prefixes
@@ -118,9 +125,13 @@ def main(argv=None):
     from ..data import BatchLoader, SyntheticDataset
     from .dump import dump_predictions
 
-    maker = {"oxford": config_mod.oxford, "kitti": config_mod.kitti,
-             "nuscenes": config_mod.nuscenes,
-             "synthetic": config_mod.tiny}[args.dataset]
+    if args.dataset == "synthetic" and args.synthetic_preset != "tiny":
+        maker = {"kitti": config_mod.kitti, "oxford": config_mod.oxford,
+                 "nuscenes": config_mod.nuscenes}[args.synthetic_preset]
+    else:
+        maker = {"oxford": config_mod.oxford, "kitti": config_mod.kitti,
+                 "nuscenes": config_mod.nuscenes,
+                 "synthetic": config_mod.tiny}[args.dataset]
     overrides = {}
     if args.batch_size:
         overrides["batch_size"] = args.batch_size

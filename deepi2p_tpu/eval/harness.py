@@ -45,7 +45,8 @@ def evaluate_registration(data_dir: str, *, method: str = "frustum",
                           batch_size: int = 16, n_inits: int = 60,
                           max_iter: int = 32, seed: int = 0,
                           pseudo_dir: Optional[str] = None,
-                          save_dir: Optional[str] = None) -> Dict[str, float]:
+                          save_dir: Optional[str] = None,
+                          enu2cam: bool = False) -> Dict[str, float]:
     """Run a solver over a dump directory and summarise RTE/RRE/success.
 
     Args:
@@ -57,9 +58,17 @@ def evaluate_registration(data_dir: str, *, method: str = "frustum",
         reference's solver oracle mode, ``test_frustum_solver.py``).
       pseudo_dir: directory of ``{prefix}_pc.npy`` pseudo clouds for 'icp'
         (see :mod:`deepi2p_tpu.eval.depth`).
+      enu2cam: convert ENU-frame dumps (nuScenes) to camera convention
+        before solving, like the reference's eval-time conversion
+        (``registration_lsq.py:237-248,301-302``) — the 2D solver's yaw
+        axis is camera-y.
     """
     prefixes = list_dump_prefixes(data_dir)[::stride]
     dumps = [load_dump(data_dir, p) for p in prefixes]
+    if enu2cam:
+        from ..data.nuscenes import enu2cam as _enu2cam
+        for d in dumps:
+            d["pc"], d["P"] = _enu2cam(d["pc"], d["P"])
     W_fine = int(round(W / 32))
 
     P_pred_all = np.zeros((len(dumps), 4, 4))

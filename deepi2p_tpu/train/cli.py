@@ -69,6 +69,12 @@ def main(argv=None):
     p.add_argument("--synthetic-scene", default=None,
                    choices=["uniform", "street"],
                    help="synthetic cloud structure (see config.py)")
+    p.add_argument("--synthetic-preset", default="tiny",
+                   choices=["tiny", "kitti", "oxford", "nuscenes"],
+                   help="config preset for --dataset synthetic: exercises "
+                        "that dataset's image/label geometry (kitti "
+                        "160x512 y-rotation, nuscenes 160x320 z-rotation "
+                        "ENU frame) on synthetic scenes")
     p.add_argument("--points", type=int, default=None,
                    help="override cfg.input_pt_num (synthetic experiments)")
     p.add_argument("--nodes", type=int, default=None,
@@ -76,9 +82,16 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
-    maker = {"oxford": config_mod.oxford, "kitti": config_mod.kitti,
-             "nuscenes": config_mod.nuscenes,
-             "synthetic": config_mod.tiny}[args.dataset]
+    if args.dataset == "synthetic":
+        if args.synthetic_preset == "tiny":
+            maker = config_mod.tiny
+        else:
+            base = {"kitti": config_mod.kitti, "oxford": config_mod.oxford,
+                    "nuscenes": config_mod.nuscenes}[args.synthetic_preset]
+            maker = lambda **kw: base(**kw)  # noqa: E731
+    else:
+        maker = {"oxford": config_mod.oxford, "kitti": config_mod.kitti,
+                 "nuscenes": config_mod.nuscenes}[args.dataset]
     overrides = {"dataroot": args.dataroot,
                  "checkpoints_dir": args.checkpoints_dir}
     if args.batch_size:

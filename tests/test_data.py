@@ -549,3 +549,45 @@ def test_synthetic_fresh_scenes_and_zbuffer():
         np.testing.assert_allclose(img[vi, ui, 0], expect, rtol=1e-5)
         checked += 1
     assert checked > 10
+
+
+def test_synthetic_nuscenes_enu_frame():
+    """nuScenes-preset synthetic batches are generated in ENU (z up,
+    rotation about z) and enu2cam recovers a camera-convention problem
+    with identical labels — the eval path's conversion
+    (registration_lsq.py:237-248)."""
+    import jax.numpy as jnp
+    from deepi2p_tpu.data import synthetic_batch, enu2cam
+    from deepi2p_tpu.ops.projection import project_points, coarse_labels
+
+    cfg = config.nuscenes(input_pt_num=1024, node_a_num=16, node_b_num=16,
+                          batch_size=2, synthetic_scene="street",
+                          img_H=64, img_W=96)
+    b = synthetic_batch(cfg, seed=5)
+    # rotation block of the ENU pose: rotation about ENU-z composed with
+    # the fixed convention change => bottom row of R maps (0,0,1) to
+    # camera -y: R @ ez == (0,-1,0)^T-ish? Instead check label parity:
+    for i in range(2):
+        P4 = np.eye(4, dtype=np.float64)
+        P4[:3] = b["P"][i]
+        pc_cam, P_cam = enu2cam(b["pc"][i].astype(np.float64), P4)
+        # identical projections in both parameterisations
+        pxpy_e, z_e = project_points(jnp.asarray(b["pc"][i][None]),
+                                     jnp.asarray(b["P"][i][None]),
+                                     jnp.asarray(b["K"][i][None]))
+        pxpy_c, z_c = project_points(
+            jnp.asarray(pc_cam[None].astype(np.float32)),
+            jnp.asarray(P_cam[None, :3].astype(np.float32)),
+            jnp.asarray(b["K"][i][None]))
+        np.testing.assert_allclose(np.asarray(pxpy_e), np.asarray(pxpy_c),
+                                   atol=1e-2)
+        lab_e = np.asarray(coarse_labels(pxpy_e, z_e, cfg.img_H, cfg.img_W))
+        lab_c = np.asarray(coarse_labels(pxpy_c, z_c, cfg.img_H, cfg.img_W))
+        np.testing.assert_array_equal(lab_e, lab_c)
+        assert 0.005 < lab_e.mean() < 0.9
+        # cam-convention cloud is y-down street geometry: ground plane at
+        # cam y=+2 (the ENU cloud has it at z=-2)
+        assert np.median(pc_cam[:, 1][np.abs(pc_cam[:, 1] - 2) < 0.3]) > 1.5
+        # the camera pose is a pure yaw about camera-y (2D solver regime)
+        R = P_cam[:3, :3]
+        np.testing.assert_allclose(R[1], [0, 1, 0], atol=1e-5)
