@@ -40,7 +40,8 @@ def _random_pose(rng: np.random.Generator, cfg: Config) -> np.ndarray:
 
 def _street_cloud(rng: np.random.Generator, n: int):
     """Structured scene: points ON surfaces (ground plane, two street
-    facades, box obstacles), with true surface normals.
+    facades, box obstacles), with true surface normals and per-surface
+    reflectance.
 
     Translation identifiability: for a *uniform* cloud, shifting the
     camera leaves the frustum-membership pattern statistically unchanged
@@ -48,7 +49,15 @@ def _street_cloud(rng: np.random.Generator, n: int):
     e2e runs, BENCH_NOTES.md).  Surfaces create large coherent label
     blocks whose boundaries move rigidly with the camera, so the membership
     cost pins all 4 DoF.
-    Returns (pc (n,3), sn (n,3)) float32; y is the vertical axis.
+
+    Reflectance is structured like real LiDAR intensity: each facade
+    segment ("building") and each box carries its own base level plus
+    small per-point noise, so the rendered image shows coherent
+    bright/dark regions that correspond to coherent intensity regions of
+    the cloud — a learnable cross-modal cue (round-3: per-point-random
+    intensity gave the classifier nothing region-level to match, and the
+    dominant e2e failure was whole-wedge yaw confusion).
+    Returns (pc (n,3), sn (n,3), intensity (n,1)) float32; y is vertical.
     """
     n_g = int(n * 0.4)
     n_f = int(n * 0.4)
@@ -58,20 +67,29 @@ def _street_cloud(rng: np.random.Generator, n: int):
                   2.0 + rng.normal(0, 0.05, n_g),
                   rng.uniform(-40, 40, n_g)], axis=-1)
     g_n = np.tile(np.array([0.0, -1.0, 0.0]), (n_g, 1))
-    # two facades x = -wl / +wr, full height
+    g_i = rng.uniform(0.05, 0.25) + rng.normal(0, 0.04, n_g)
+    # two facades x = -wl / +wr, full height, segmented into "buildings"
+    # of distinct reflectance every ~8-15 m along z
     wl, wr = rng.uniform(8, 16), rng.uniform(8, 16)
     left = rng.random(n_f) < 0.5
     x = np.where(left, -wl, wr) + rng.normal(0, 0.05, n_f)
-    f = np.stack([x, rng.uniform(-6, 2, n_f),
-                  rng.uniform(-40, 40, n_f)], axis=-1)
+    fz = rng.uniform(-40, 40, n_f)
+    f = np.stack([x, rng.uniform(-6, 2, n_f), fz], axis=-1)
     f_n = np.stack([np.where(left, 1.0, -1.0), np.zeros(n_f),
                     np.zeros(n_f)], axis=-1)
+    seg_len = rng.uniform(8.0, 15.0)
+    seg_phase = rng.uniform(0.0, seg_len)
+    seg = np.floor((fz + 40.0 + seg_phase) / seg_len).astype(int) \
+        + 16 * left.astype(int)
+    seg_levels = rng.uniform(0.3, 1.0, 48)
+    f_i = seg_levels[seg % 48] + rng.normal(0, 0.04, n_f)
     # box obstacles (cars): sample inside, push to the nearest face
     nbox = 6
     centers = np.stack([rng.uniform(-6, 6, nbox),
                         np.full(nbox, 1.0),
                         rng.uniform(-35, 35, nbox)], axis=-1)
     sizes = rng.uniform(1.5, 4.0, (nbox, 3))
+    box_levels = rng.uniform(0.3, 1.0, nbox)
     bi = rng.integers(0, nbox, n_b)
     local = rng.uniform(-0.5, 0.5, (n_b, 3))
     face_ax = np.argmax(np.abs(local), axis=1)
@@ -80,10 +98,13 @@ def _street_cloud(rng: np.random.Generator, n: int):
     local = local * (1.0 - onehot) + 0.5 * sign * onehot
     b = centers[bi] + local * sizes[bi]
     b_n = (sign * onehot).astype(np.float64)
+    b_i = box_levels[bi] + rng.normal(0, 0.04, n_b)
     pc = np.concatenate([g, f, b]).astype(np.float32)
     sn = np.concatenate([g_n, f_n, b_n]).astype(np.float32)
+    inten = np.clip(np.concatenate([g_i, f_i, b_i]), 0.0, 1.0)
+    inten = inten.astype(np.float32)[:, None]
     perm = rng.permutation(n)
-    return pc[perm], sn[perm]
+    return pc[perm], sn[perm], inten[perm]
 
 
 def synthetic_batch(cfg: Config, batch_size: int | None = None,
@@ -105,6 +126,7 @@ def synthetic_batch(cfg: Config, batch_size: int | None = None,
         clouds = [_street_cloud(rng, N) for _ in range(B)]
         pc = np.stack([c[0] for c in clouds])
         sn = np.stack([c[1] for c in clouds])
+        intensity = np.stack([c[2] for c in clouds])
     else:
         # Points roughly in front of a camera at ~5..40 m, some behind.
         pc = np.stack([rng.uniform(-30, 30, (B, N)),
@@ -112,7 +134,7 @@ def synthetic_batch(cfg: Config, batch_size: int | None = None,
                        rng.uniform(-10, 40, (B, N))], axis=-1).astype(np.float32)
         sn = rng.normal(size=(B, N, 3)).astype(np.float32)
         sn /= np.linalg.norm(sn, axis=-1, keepdims=True)
-    intensity = rng.uniform(0, 1, (B, N, 1)).astype(np.float32)
+        intensity = rng.uniform(0, 1, (B, N, 1)).astype(np.float32)
 
     # draw the pose in camera convention; for nuScenes the configured
     # rotation axis is ENU-z (nuscenes_t/options.py:42), which IS camera-y

@@ -35,6 +35,8 @@ def main(argv=None):
     d.add_argument("--max-batches", type=int, default=None)
     d.add_argument("--points", type=int, default=None)
     d.add_argument("--nodes", type=int, default=None)
+    d.add_argument("--img-h", type=int, default=None)
+    d.add_argument("--img-w", type=int, default=None)
     d.add_argument("--synthetic-scene", default=None,
                    choices=["uniform", "street"],
                    help="synthetic cloud structure (see config.py)")
@@ -140,6 +142,10 @@ def main(argv=None):
     if args.nodes:
         overrides["node_a_num"] = args.nodes
         overrides["node_b_num"] = args.nodes
+    if args.img_h:
+        overrides["img_H"] = args.img_h
+    if args.img_w:
+        overrides["img_W"] = args.img_w
     if getattr(args, "synthetic_scene", None):
         overrides["synthetic_scene"] = args.synthetic_scene
     cfg = maker(**overrides)

@@ -79,6 +79,11 @@ def main(argv=None):
                    help="override cfg.input_pt_num (synthetic experiments)")
     p.add_argument("--nodes", type=int, default=None,
                    help="override node_a_num/node_b_num")
+    p.add_argument("--img-h", type=int, default=None,
+                   help="override cfg.img_H (synthetic experiments)")
+    p.add_argument("--img-w", type=int, default=None,
+                   help="override cfg.img_W (synthetic experiments)")
+    p.add_argument("--lr-decay-step", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -105,6 +110,12 @@ def main(argv=None):
         overrides["node_b_num"] = args.nodes
     if args.synthetic_scene:
         overrides["synthetic_scene"] = args.synthetic_scene
+    if args.img_h:
+        overrides["img_H"] = args.img_h
+    if args.img_w:
+        overrides["img_W"] = args.img_w
+    if args.lr_decay_step:
+        overrides["lr_decay_step"] = args.lr_decay_step
     cfg = maker(**overrides)
     epochs = args.epochs if args.epochs is not None else cfg.epochs
 
