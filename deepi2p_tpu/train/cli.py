@@ -30,8 +30,8 @@ def build_loaders(cfg, args):
     if args.dataset == "synthetic":
         train = SyntheticDataset(cfg, length=args.synthetic_len, seed=0,
                                  fresh=args.fresh_scenes)
-        val = SyntheticDataset(cfg, length=max(args.synthetic_len // 4, 1),
-                               seed=1)
+        val_len = args.val_len or max(args.synthetic_len // 4, 1)
+        val = SyntheticDataset(cfg, length=val_len, seed=1)
         return train, val
     if args.dataset == "oxford":
         from ..data import OxfordLoader
@@ -63,6 +63,10 @@ def main(argv=None):
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--synthetic-len", type=int, default=32)
+    p.add_argument("--val-len", type=int, default=None,
+                   help="synthetic: validation-set size (default len//4); "
+                        "long fresh-scene runs shrink it so per-epoch "
+                        "validation does not dominate wall time")
     p.add_argument("--fresh-scenes", action="store_true",
                    help="synthetic: a never-seen scene per (epoch, index) "
                         "instead of re-iterating a finite set")
