@@ -76,6 +76,11 @@ class Config:
     lr_clip: float = 1e-5
     epochs: int = 101
     coarse_loss_alpha: float = 50.0
+    # >1 up-weights the inside-frustum coarse class in the focal loss
+    # (deepi2p_tpu extension; 1.0 = exact reference loss).  The frustum
+    # solver consumes inside-class recall, not accuracy — false negatives
+    # repel the solve (round-3 e2e analysis, BENCH_NOTES.md).
+    coarse_inside_weight: float = 1.0
     dataloader_threads: int = 10
     vis_max_batch: int = 4
     seed: int = 0

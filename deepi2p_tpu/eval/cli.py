@@ -48,6 +48,13 @@ def main(argv=None):
                    help="synthetic dump set size")
     d.add_argument("--save-images", action="store_true",
                    help="also save {prefix}_img.npy (enables depth-dump)")
+    d.add_argument("--save-probs", action="store_true",
+                   help="also save {prefix}_p.npy inside-probabilities "
+                        "(host-side threshold sweeps)")
+    d.add_argument("--inside-threshold", type=float, default=None,
+                   help="coarse decision p_inside > t instead of argmax "
+                        "(recall-heavy operating point for the frustum "
+                        "solver; argmax = reference behavior)")
 
     dd = sub.add_parser("depth-dump",
                         help="estimated-depth pseudo point clouds for ICP "
@@ -71,6 +78,10 @@ def main(argv=None):
                    help="solve from GT labels (oracle mode)")
     s.add_argument("--pseudo-dir", default=None)
     s.add_argument("--save-dir", default=None)
+    s.add_argument("--outside-weight", type=float, default=1.0,
+                   help="frustum cost: weight on outside-labelled blocks "
+                        "(<1 tolerates recall-limited predictions; 1.0 = "
+                        "reference cost)")
     s.add_argument("--enu2cam", action="store_true",
                    help="convert ENU dumps (nuScenes) to camera convention "
                         "before solving (registration_lsq.py:237-248)")
@@ -108,7 +119,8 @@ def main(argv=None):
             args.data_dir, method=args.method, H=args.img_h, W=args.img_w,
             stride=args.stride, n_inits=args.n_inits, max_iter=args.max_iter,
             use_labels=args.use_labels, pseudo_dir=args.pseudo_dir,
-            save_dir=args.save_dir, enu2cam=args.enu2cam)
+            save_dir=args.save_dir, enu2cam=args.enu2cam,
+            outside_weight=args.outside_weight)
         if args.debug_vis:
             from .debug_vis import debug_report
             from .dump import list_dump_prefixes
@@ -174,10 +186,10 @@ def main(argv=None):
         mgr = CheckpointManager(args.checkpoint)
         state = mgr.restore(state)
         mgr.close()
-    coarse_acc, fine_acc = dump_predictions(engine, state, iter(loader), cfg,
-                                            args.out,
-                                            max_batches=args.max_batches,
-                                            save_images=args.save_images)
+    coarse_acc, fine_acc = dump_predictions(
+        engine, state, iter(loader), cfg, args.out,
+        max_batches=args.max_batches, save_images=args.save_images,
+        inside_threshold=args.inside_threshold, save_probs=args.save_probs)
     print(json.dumps({"coarse_accuracy": coarse_acc,
                       "fine_accuracy": fine_acc}))
 

@@ -65,12 +65,19 @@ def list_dump_prefixes(data_dir: str):
 def dump_predictions(engine, state, batches: Iterator[Dict], cfg: Config,
                      out_dir: str, *, max_batches: Optional[int] = None,
                      viz_dir: Optional[str] = None,
-                     save_images: bool = False):
+                     save_images: bool = False,
+                     inside_threshold: Optional[float] = None,
+                     save_probs: bool = False):
     """Run inference over ``batches`` and write per-sample dumps.
 
     ``viz_dir`` additionally saves the ``{id}_img.png`` input image and the
     ``{id}_prediction.png`` TP/FP/FN overlay like the reference
     (``visualize_and_save_data.py:168-186``).
+
+    ``inside_threshold`` (0..1) replaces the argmax coarse decision with
+    ``p_inside > threshold`` — a recall-heavy operating point for the
+    frustum solver (false negatives repel the solve; round-3 analysis).
+    None reproduces the reference's argmax dump exactly.
 
     Returns (coarse_accuracy, fine_accuracy) over the dumped set
     (``visualize_and_save_data.py:141-148,216-217``).
@@ -85,7 +92,14 @@ def dump_predictions(engine, state, batches: Iterator[Dict], cfg: Config,
         if max_batches is not None and bi >= max_batches:
             break
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
-        coarse_pred, fine_pred = engine.infer(state, jbatch)
+        p_inside = None
+        if inside_threshold is not None or save_probs:
+            p_inside, fine_pred = engine.infer_probs(state, jbatch)
+            p_inside = np.asarray(p_inside)
+        if inside_threshold is not None:
+            coarse_pred = (p_inside > inside_threshold).astype(np.int32)
+        else:
+            coarse_pred, fine_pred = engine.infer(state, jbatch)
         labels = generate_labels(jbatch["pc"], jbatch["P"], jbatch["K"],
                                  cfg.img_H, cfg.img_W,
                                  cfg.img_fine_resolution_scale)
@@ -109,6 +123,11 @@ def dump_predictions(engine, state, batches: Iterator[Dict], cfg: Config,
                              fine_label=fine_lab[b],
                              K=np.asarray(batch["K"][b]),
                              P=np.asarray(batch["P"][b]))
+            if save_probs:
+                # p_inside per point: lets threshold sweeps re-derive
+                # coarse_pred host-side without re-running the network
+                np.save(os.path.join(out_dir, prefix + "_p.npy"),
+                        p_inside[b].astype(np.float32))
             if save_images:
                 # input image alongside the dump: lets a depth estimator
                 # (eval.cli depth-dump) run from the dump directory alone,

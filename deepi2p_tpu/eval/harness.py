@@ -46,7 +46,8 @@ def evaluate_registration(data_dir: str, *, method: str = "frustum",
                           max_iter: int = 32, seed: int = 0,
                           pseudo_dir: Optional[str] = None,
                           save_dir: Optional[str] = None,
-                          enu2cam: bool = False) -> Dict[str, float]:
+                          enu2cam: bool = False,
+                          outside_weight: float = 1.0) -> Dict[str, float]:
     """Run a solver over a dump directory and summarise RTE/RRE/success.
 
     Args:
@@ -62,6 +63,8 @@ def evaluate_registration(data_dir: str, *, method: str = "frustum",
         before solving, like the reference's eval-time conversion
         (``registration_lsq.py:237-248,301-302``) — the 2D solver's yaw
         axis is camera-y.
+      outside_weight: down-weight outside-labelled blocks in the frustum
+        cost (recall-limited classifiers; 1.0 = exact reference cost).
     """
     prefixes = list_dump_prefixes(data_dir)[::stride]
     dumps = [load_dump(data_dir, p) for p in prefixes]
@@ -125,7 +128,8 @@ def evaluate_registration(data_dir: str, *, method: str = "frustum",
             if method == "frustum":
                 P, cost = solve_frustum_batch(pc, coarse, K, H=H, W=W,
                                               rng=sub, n_inits=n_inits,
-                                              max_iter=max_iter)
+                                              max_iter=max_iter,
+                                              outside_weight=outside_weight)
             elif method == "pnp":
                 ffield = "fine_label" if use_labels else "fine_pred"
                 fine = jnp.asarray(np.stack([d[ffield] for d in chunk]))

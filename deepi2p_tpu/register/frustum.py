@@ -123,16 +123,34 @@ def _residuals_t(theta, pts_t, labels, valid, K, H, W, is_2d: bool):
     return jnp.stack([r0, r1, r2]) * valid[None, :]     # (3, N)
 
 
-def _block_cost(r, valid):
-    """0.5 * sum log(1 + |r_block|^2) over valid blocks; r is (3, N)."""
+def _block_cost(r, valid, pw=None):
+    """0.5 * sum pw * log(1 + |r_block|^2) over valid blocks; r is (3, N).
+
+    ``pw`` (N,) optionally weights each point's robustified block — used
+    to down-weight outside-labelled blocks when solving from a classifier
+    with known-poor inside recall (a false negative's repulsive residual
+    otherwise poisons the solve; round-3 analysis, BENCH_NOTES.md).
+    """
     s = jnp.sum(r ** 2, axis=0)
-    return 0.5 * jnp.sum(jnp.log1p(s) * valid)
+    w = valid if pw is None else valid * pw
+    return 0.5 * jnp.sum(jnp.log1p(s) * w)
 
 
-def frustum_cost(theta, pts, labels, valid, K, H, W, is_2d: bool = True):
+def _outside_pw(labels, outside_weight: float):
+    """Per-point block weight: 1 for inside-labelled, ``outside_weight``
+    for outside-labelled.  None when the weight is exactly 1 (reference
+    cost, ``registration_2d.hpp`` has no such weight)."""
+    if outside_weight == 1.0:
+        return None
+    return jnp.where(labels > 0.5, 1.0, jnp.asarray(outside_weight,
+                                                    labels.dtype))
+
+
+def frustum_cost(theta, pts, labels, valid, K, H, W, is_2d: bool = True,
+                 outside_weight: float = 1.0):
     """Robustified total cost for points in (N, 3) layout (public API)."""
     r = _residuals_t(theta, pts.T, labels, valid, K, H, W, is_2d)
-    return _block_cost(r, valid)
+    return _block_cost(r, valid, _outside_pw(labels, outside_weight))
 
 
 # --------------------------------------------------------------------------
@@ -180,10 +198,11 @@ def _spd_solve(A: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.stack(x, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "max_iter", "is_2d"))
+@functools.partial(jax.jit, static_argnames=("H", "W", "max_iter", "is_2d",
+                                             "outside_weight"))
 def lm_solve(pts, labels, valid, K, theta0, t_lb, t_ub, *,
              H: int, W: int, max_iter: int = 32,
-             is_2d: bool = True) -> LMResult:
+             is_2d: bool = True, outside_weight: float = 1.0) -> LMResult:
     """Single-problem LM; ``vmap`` over initialisations x pairs for batches.
 
     Args:
@@ -193,6 +212,8 @@ def lm_solve(pts, labels, valid, K, theta0, t_lb, t_ub, *,
     P = theta0.shape[0]
     t_off = 1 if is_2d else 3
     pts_t = pts.T                                       # (3, N)
+    pw = _outside_pw(labels, outside_weight)
+    vw = valid if pw is None else valid * pw
 
     def clip_t(theta):
         t = jnp.clip(theta[t_off:t_off + 3], t_lb, t_ub)
@@ -207,7 +228,7 @@ def lm_solve(pts, labels, valid, K, theta0, t_lb, t_ub, *,
         # one fused pass: primal residual (aux) + 4/6 forward tangents
         J, _ = jax.jacfwd(res_fn, has_aux=True)(theta)  # (3, N, P)
         s = jnp.sum(r ** 2, axis=0)                     # (N,)
-        w = valid / (1.0 + s)                           # Cauchy rho'(s)
+        w = vw / (1.0 + s)                              # pw * Cauchy rho'(s)
         Hmat = jnp.einsum("rnp,rnq,n->pq", J, J, w,
                           preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
@@ -218,7 +239,7 @@ def lm_solve(pts, labels, valid, K, theta0, t_lb, t_ub, *,
         delta = -_spd_solve(Hmat + damp, g)
         theta_new = clip_t(theta + delta)
         r_new = _residuals_t(theta_new, pts_t, labels, valid, K, H, W, is_2d)
-        new_cost = _block_cost(r_new, valid)
+        new_cost = _block_cost(r_new, valid, pw)
         accept = new_cost < cost
         theta = jnp.where(accept, theta_new, theta)
         cost = jnp.where(accept, new_cost, cost)
@@ -228,7 +249,7 @@ def lm_solve(pts, labels, valid, K, theta0, t_lb, t_ub, *,
 
     theta0 = clip_t(theta0)
     r0 = _residuals_t(theta0, pts_t, labels, valid, K, H, W, is_2d)
-    init = (theta0, jnp.asarray(1e-3), _block_cost(r0, valid), r0,
+    init = (theta0, jnp.asarray(1e-3), _block_cost(r0, valid, pw), r0,
             jnp.zeros((), jnp.int32))
     (theta, _, cost, _, n_acc), _ = jax.lax.scan(
         step, init, None, length=max_iter, unroll=min(8, max_iter))
@@ -291,7 +312,8 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng=None,
                         is_2d: bool = True, solver_stride: int = 1,
                         backend: str = "auto", theta0=None,
                         probe_stride: int | None = None,
-                        survivors: int | None = None):
+                        survivors: int | None = None,
+                        outside_weight: float = 1.0):
     """Full multi-init solve for a batch of pairs.
 
     Mirrors ``solve_P_random_perturb`` (``registration_lsq.py:142-186``):
@@ -320,6 +342,13 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng=None,
     where per-pair inits must not depend on the batch layout
     (:mod:`deepi2p_tpu.parallel.registration`).
 
+    ``outside_weight`` < 1 down-weights outside-labelled residual blocks
+    in the robust cost (see :func:`_block_cost`) — a mitigation for
+    recall-limited classifiers whose false negatives repel the solve.
+    1.0 (default) is the exact reference cost; any other value routes
+    through the generic LM path (the fast/pallas kernels implement the
+    unweighted reference cost only).
+
     Args:
       pc (B,N,3), pred_inside (B,N) int, K (B,3,3).
     Returns:
@@ -335,6 +364,11 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng=None,
 
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if outside_weight != 1.0:
+        backend = "generic"     # autodiff lm_solve path below
+    # backend == 'generic' may also be requested explicitly (no halving,
+    # full budget on every init — the apples-to-apples baseline for
+    # weighted-cost experiments)
 
     ang, valid = jax.vmap(initial_guess)(pc, pred_inside)  # (B,), (B,N)
 
@@ -399,7 +433,7 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng=None,
             thetas, costs = lm_solve_pallas(pc_s, labels_s, valid_s, K,
                                             theta0, t_lb_t, t_ub_t, H=H,
                                             W=W, max_iter=max_iter)
-    elif is_2d:
+    elif is_2d and backend != "generic":
         # analytic-Jacobian fast path (frustum_fast.py), with
         # successive halving: probe every init for a few iterations, then
         # spend the remaining budget only on the most promising quarter.
@@ -419,7 +453,8 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng=None,
                 H=H, W=W, max_iter=max_iter - probe_iter)
     else:
         solve_one = functools.partial(lm_solve, H=H, W=W, max_iter=max_iter,
-                                      is_2d=is_2d)
+                                      is_2d=is_2d,
+                                      outside_weight=outside_weight)
         # vmap over inits, then over pairs
         inner = jax.vmap(lambda th, p, l, v, k:
                          solve_one(p, l, v, k, th, t_lb, t_ub),

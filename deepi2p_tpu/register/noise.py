@@ -73,5 +73,22 @@ def flip_border_band(rng: np.random.Generator, labels: np.ndarray,
     return np.where(flip, 1 - labels, labels)
 
 
+def drop_insiders(rng: np.random.Generator, labels: np.ndarray, *,
+                  miss_rate: float, fp_rate: float = 0.0) -> np.ndarray:
+    """Asymmetric recall-limited corruption: each TRUE insider is missed
+    (labelled outside) with ``miss_rate``; each true outsider becomes a
+    false positive with ``fp_rate``.
+
+    This is the failure mode of an actual trained classifier (round-3
+    dumps: inside recall ~0.4 at precision ~0.5 while accuracy read
+    0.83) — unlike symmetric flips, the error mass concentrates on false
+    negatives, whose outside-residuals actively repel the frustum.
+    """
+    miss = (labels == 1) & (rng.uniform(size=labels.shape) < miss_rate)
+    fp = (labels == 0) & (rng.uniform(size=labels.shape) < fp_rate)
+    out = np.where(miss, 0, labels)
+    return np.where(fp, 1, out)
+
+
 def error_rate(labels: np.ndarray, corrupted: np.ndarray) -> float:
     return float(np.mean(labels != corrupted))

@@ -88,6 +88,9 @@ def main(argv=None):
     p.add_argument("--img-w", type=int, default=None,
                    help="override cfg.img_W (synthetic experiments)")
     p.add_argument("--lr-decay-step", type=int, default=None)
+    p.add_argument("--inside-weight", type=float, default=None,
+                   help="up-weight the inside-frustum coarse class in the "
+                        "focal loss (cfg.coarse_inside_weight)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -120,6 +123,8 @@ def main(argv=None):
         overrides["img_W"] = args.img_w
     if args.lr_decay_step:
         overrides["lr_decay_step"] = args.lr_decay_step
+    if args.inside_weight:
+        overrides["coarse_inside_weight"] = args.inside_weight
     cfg = maker(**overrides)
     epochs = args.epochs if args.epochs is not None else cfg.epochs
 

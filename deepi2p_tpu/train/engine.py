@@ -60,6 +60,7 @@ class Engine:
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
         self._infer = jax.jit(self._infer_impl)
+        self._infer_probs = jax.jit(self._infer_probs_impl)
 
     # -- state ---------------------------------------------------------------
     def init_state(self, rng: jax.Array, example_batch: Dict[str, jax.Array]
@@ -105,7 +106,8 @@ class Engine:
             coarse_logits, fine_logits = out, None
         loss, metrics = classification_loss(
             coarse_logits, fine_logits, labels,
-            coarse_loss_alpha=cfg.coarse_loss_alpha)
+            coarse_loss_alpha=cfg.coarse_loss_alpha,
+            inside_weight=cfg.coarse_inside_weight)
         # reference asserts this is zero (multimodal_classifier.py:169-172)
         metrics["fine_violations"] = labels.fine_violations
         return loss, metrics
@@ -145,6 +147,20 @@ class Engine:
                     jnp.argmax(fine_logits, axis=-1))
         return jnp.argmax(out, axis=-1)
 
+    def _infer_probs_impl(self, state: TrainState, batch):
+        """(p_inside (B,N) f32, fine_pred (B,N) or None): the inside-class
+        probability lets the dump stage pick a recall-heavy decision
+        threshold — the frustum solver tolerates false positives far
+        better than false negatives (round-3 analysis, BENCH_NOTES.md) —
+        while argmax reproduces the reference's operating point."""
+        out, _ = self._forward(state.params, state.batch_stats, batch, False,
+                               None)
+        if self.cfg.is_fine_resolution:
+            coarse_logits, fine_logits = out
+            return (jax.nn.softmax(coarse_logits, axis=-1)[..., 1],
+                    jnp.argmax(fine_logits, axis=-1))
+        return jax.nn.softmax(out, axis=-1)[..., 1], None
+
     # -- public API --------------------------------------------------------------
     def train_step(self, state, batch, rng):
         state, metrics = self._train_step(state, batch, rng)
@@ -157,3 +173,6 @@ class Engine:
 
     def infer(self, state, batch):
         return self._infer(state, batch)
+
+    def infer_probs(self, state, batch):
+        return self._infer_probs(state, batch)

@@ -41,3 +41,22 @@ def test_eval_cli_dump_and_solve(tmp_path, capsys):
                  "--n-inits", "4", "--max-iter", "8"])
     assert summ["num_pairs"] == 4
     assert np.isfinite(summ["rte_mean"])
+
+
+def test_eval_cli_dump_inside_threshold(tmp_path):
+    """p_inside > t decision: t->0 predicts (nearly) everything inside,
+    t=0.5 equals the argmax dump."""
+    from deepi2p_tpu.eval.cli import main
+    out_argmax = str(tmp_path / "argmax")
+    out_t5 = str(tmp_path / "t5")
+    out_t0 = str(tmp_path / "t0")
+    base = ["dump", "--dataset", "synthetic", "--batch-size", "2",
+            "--max-batches", "1"]
+    main(base + ["--out", out_argmax])
+    main(base + ["--out", out_t5, "--inside-threshold", "0.5"])
+    main(base + ["--out", out_t0, "--inside-threshold", "0.001"])
+    a = np.load(os.path.join(out_argmax, "000000_00_pc_label.npy"))
+    t5 = np.load(os.path.join(out_t5, "000000_00_pc_label.npy"))
+    t0 = np.load(os.path.join(out_t0, "000000_00_pc_label.npy"))
+    np.testing.assert_array_equal(a[3], t5[3])   # argmax == p>0.5 (C=2)
+    assert t0[3].mean() > a[3].mean() or t0[3].mean() == 1.0

@@ -25,6 +25,49 @@ def test_focal_loss_matches_naive(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+def test_focal_loss_inside_weight(rng):
+    """class_weight=[1,w] multiplies exactly the true-class-1 terms; w=1
+    (and class_weight=None) reproduce the reference loss bit-for-bit."""
+    logits = rng.normal(size=(4, 6, 2)).astype(np.float32)
+    labels = rng.integers(0, 2, size=(4, 6))
+    base = float(focal_loss(jnp.asarray(logits), jnp.asarray(labels)))
+    same = float(focal_loss(jnp.asarray(logits), jnp.asarray(labels),
+                            class_weight=jnp.array([1.0, 1.0])))
+    np.testing.assert_allclose(base, same, rtol=1e-7)
+
+    w = 3.0
+    got = float(focal_loss(jnp.asarray(logits), jnp.asarray(labels),
+                           class_weight=jnp.array([1.0, w])))
+    # naive: per-example focal terms, weighted by true class
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    p = e / e.sum(-1, keepdims=True) + 1e-6
+    onehot = np.eye(2)[labels] + 1e-6
+    per_ex = np.sum(-0.5 * (1 - p) ** 2 * np.log(p) * onehot, axis=-1)
+    want = float(np.mean(per_ex * np.where(labels == 1, w, 1.0)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_classification_loss_inside_metrics(rng):
+    """inside_precision / inside_recall match sklearn-style definitions."""
+    from deepi2p_tpu.train.loss import classification_loss
+    from deepi2p_tpu.ops.projection import Labels
+    B, N = 2, 32
+    logits = rng.normal(size=(B, N, 2)).astype(np.float32)
+    coarse = rng.integers(0, 2, size=(B, N))
+    labels = Labels(coarse=jnp.asarray(coarse),
+                    fine=jnp.zeros((B, N), jnp.int32),
+                    pxpy=jnp.zeros((B, N, 2)), z=jnp.zeros((B, N)),
+                    fine_violations=jnp.zeros(()))
+    _, m = classification_loss(jnp.asarray(logits), None, labels,
+                               coarse_loss_alpha=1.0)
+    pred = logits.argmax(-1)
+    tp = ((pred == 1) & (coarse == 1)).sum()
+    prec = tp / max((pred == 1).sum(), 1)
+    rec = tp / max((coarse == 1).sum(), 1)
+    np.testing.assert_allclose(float(m["inside_precision"]), prec, rtol=1e-5)
+    np.testing.assert_allclose(float(m["inside_recall"]), rec, rtol=1e-5)
+
+
 def test_masked_fine_ce_matches_gathered(rng):
     B, N, L = 2, 12, 6
     logits = rng.normal(size=(B, N, L)).astype(np.float32)
