@@ -82,6 +82,10 @@ def main(argv=None):
                    help="frustum cost: weight on outside-labelled blocks "
                         "(<1 tolerates recall-limited predictions; 1.0 = "
                         "reference cost)")
+    s.add_argument("--inside-threshold", type=float, default=None,
+                   help="re-derive coarse_pred as p_inside > t from dumps "
+                        "written with --save-probs (recall-heavy operating "
+                        "point, no network re-run)")
     s.add_argument("--enu2cam", action="store_true",
                    help="convert ENU dumps (nuScenes) to camera convention "
                         "before solving (registration_lsq.py:237-248)")
@@ -120,7 +124,8 @@ def main(argv=None):
             stride=args.stride, n_inits=args.n_inits, max_iter=args.max_iter,
             use_labels=args.use_labels, pseudo_dir=args.pseudo_dir,
             save_dir=args.save_dir, enu2cam=args.enu2cam,
-            outside_weight=args.outside_weight)
+            outside_weight=args.outside_weight,
+            inside_threshold=args.inside_threshold)
         if args.debug_vis:
             from .debug_vis import debug_report
             from .dump import list_dump_prefixes

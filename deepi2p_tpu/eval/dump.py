@@ -49,11 +49,17 @@ def load_dump(data_dir: str, prefix: str):
     P = np.load(os.path.join(data_dir, prefix + "_P.npy"))
     if P.shape[0] == 3:
         P = np.concatenate([P, np.eye(4)[3:4]], axis=0)
-    return dict(pc=d[0:3].T, coarse_pred=d[3].astype(np.int32),
-                coarse_label=d[4].astype(np.int32),
-                fine_pred=d[5].astype(np.int32),
-                fine_label=d[6].astype(np.int32),
-                K=K.astype(np.float64), P=P.astype(np.float64))
+    out = dict(pc=d[0:3].T, coarse_pred=d[3].astype(np.int32),
+               coarse_label=d[4].astype(np.int32),
+               fine_pred=d[5].astype(np.int32),
+               fine_label=d[6].astype(np.int32),
+               K=K.astype(np.float64), P=P.astype(np.float64))
+    # optional per-point inside probability (written with --save-probs):
+    # lets the solve stage pick its own decision threshold host-side
+    p_path = os.path.join(data_dir, prefix + "_p.npy")
+    if os.path.isfile(p_path):
+        out["p_inside"] = np.load(p_path).astype(np.float32)
+    return out
 
 
 def list_dump_prefixes(data_dir: str):

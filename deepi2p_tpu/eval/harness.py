@@ -47,7 +47,9 @@ def evaluate_registration(data_dir: str, *, method: str = "frustum",
                           pseudo_dir: Optional[str] = None,
                           save_dir: Optional[str] = None,
                           enu2cam: bool = False,
-                          outside_weight: float = 1.0) -> Dict[str, float]:
+                          outside_weight: float = 1.0,
+                          inside_threshold: Optional[float] = None
+                          ) -> Dict[str, float]:
     """Run a solver over a dump directory and summarise RTE/RRE/success.
 
     Args:
@@ -65,9 +67,23 @@ def evaluate_registration(data_dir: str, *, method: str = "frustum",
         axis is camera-y.
       outside_weight: down-weight outside-labelled blocks in the frustum
         cost (recall-limited classifiers; 1.0 = exact reference cost).
+      inside_threshold: re-derive ``coarse_pred`` host-side as
+        ``p_inside > t`` from dumps written with ``--save-probs`` —
+        picks a recall-heavy operating point for the frustum cost
+        without re-running the network.  None keeps the dumped
+        (argmax or dump-time-thresholded) decision.
     """
     prefixes = list_dump_prefixes(data_dir)[::stride]
     dumps = [load_dump(data_dir, p) for p in prefixes]
+    if inside_threshold is not None:
+        missing = [p for p, d in zip(prefixes, dumps) if "p_inside" not in d]
+        if missing:
+            raise ValueError(
+                f"inside_threshold needs {{prefix}}_p.npy (dump with "
+                f"--save-probs); missing for {missing[:3]}...")
+        for d in dumps:
+            d["coarse_pred"] = (d["p_inside"]
+                                > inside_threshold).astype(np.int32)
     if enu2cam:
         from ..data.nuscenes import enu2cam as _enu2cam
         for d in dumps:

@@ -60,3 +60,34 @@ def test_eval_cli_dump_inside_threshold(tmp_path):
     t0 = np.load(os.path.join(out_t0, "000000_00_pc_label.npy"))
     np.testing.assert_array_equal(a[3], t5[3])   # argmax == p>0.5 (C=2)
     assert t0[3].mean() > a[3].mean() or t0[3].mean() == 1.0
+
+
+def test_eval_cli_solve_inside_threshold_and_outside_weight(tmp_path):
+    """Solve-time relabelling from saved probs: t=0.5 matches the argmax
+    dump's solve bit-for-bit; a probless dump raises; outside_weight
+    routes through the weighted LM and still returns finite poses."""
+    from deepi2p_tpu.eval.cli import main
+    from deepi2p_tpu import config
+    cfg = config.tiny()
+    out = str(tmp_path / "dump")
+    main(["dump", "--dataset", "synthetic", "--out", out,
+          "--batch-size", "2", "--max-batches", "2", "--save-probs"])
+    base = ["solve", "--data-dir", out, "--method", "frustum",
+            "--img-h", str(cfg.img_H), "--img-w", str(cfg.img_W),
+            "--n-inits", "4", "--max-iter", "8"]
+    s_argmax = main(base)
+    s_t5 = main(base + ["--inside-threshold", "0.5"])
+    np.testing.assert_allclose(s_t5["rte_mean"], s_argmax["rte_mean"],
+                               rtol=1e-6)
+    s_w = main(base + ["--inside-threshold", "0.2",
+                       "--outside-weight", "0.5"])
+    assert np.isfinite(s_w["rte_mean"]) and s_w["num_pairs"] == 4
+
+    out2 = str(tmp_path / "noprobs")
+    main(["dump", "--dataset", "synthetic", "--out", out2,
+          "--batch-size", "2", "--max-batches", "1"])
+    with pytest.raises(ValueError, match="save-probs"):
+        main(["solve", "--data-dir", out2, "--method", "frustum",
+              "--img-h", str(cfg.img_H), "--img-w", str(cfg.img_W),
+              "--n-inits", "2", "--max-iter", "4",
+              "--inside-threshold", "0.5"])
