@@ -144,12 +144,17 @@ def main(argv=None):
     example = BatchLoader(train_ds, cfg.batch_size,
                           num_workers=1, seed=0).__iter__().__next__()
     state = engine.init_state(jax.random.PRNGKey(args.seed), example)
+    start_epoch = 0
     if args.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
-        print(f"resumed at step {int(state.step)}")
+        # continue the epoch count (epochs is the TOTAL budget, not an
+        # increment): fresh-scene seeds, val cadence and the log all pick
+        # up where the interrupted run stopped
+        start_epoch = int(state.step) // steps_per_epoch
+        print(f"resumed at step {int(state.step)} (epoch {start_epoch})")
 
     rng = jax.random.PRNGKey(args.seed + 1)
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t_epoch = time.time()
         if hasattr(train_ds, "set_epoch"):
             train_ds.set_epoch(epoch)

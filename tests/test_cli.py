@@ -16,14 +16,23 @@ def test_train_cli_synthetic(tmp_path):
     ])
     assert int(state.step) == 2
     assert os.path.exists(tmp_path / "runs" / "metrics.jsonl")
-    # checkpoint written and resumable
+    # checkpoint written and resumable; --epochs is the TOTAL budget, so
+    # resuming a finished 1-epoch run with --epochs 2 runs exactly one more
     state2 = main([
-        "--dataset", "synthetic", "--epochs", "1", "--synthetic-len", "4",
+        "--dataset", "synthetic", "--epochs", "2", "--synthetic-len", "4",
         "--batch-size", "2", "--workers", "1", "--resume",
         "--checkpoints-dir", str(tmp_path / "ck"),
         "--log-dir", str(tmp_path / "runs"),
     ])
     assert int(state2.step) == 4
+    # resuming again with the same total budget is a no-op
+    state3 = main([
+        "--dataset", "synthetic", "--epochs", "2", "--synthetic-len", "4",
+        "--batch-size", "2", "--workers", "1", "--resume",
+        "--checkpoints-dir", str(tmp_path / "ck"),
+        "--log-dir", str(tmp_path / "runs"),
+    ])
+    assert int(state3.step) == 4
 
 
 def test_eval_cli_dump_and_solve(tmp_path, capsys):
