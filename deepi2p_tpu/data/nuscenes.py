@@ -1,12 +1,13 @@
 """nuScenes loader.
 
 Numpy re-implementation of ``nuScenesLoader``
-(``data/nuscenes_pc_img_pose_loader.py:100-408``).  The nuscenes-devkit is
-not available in this environment; access to it is isolated behind a thin
-``NuScenesBackend`` protocol so the loader logic (accumulation, ego-car
-point removal, random camera pairing, ENU-frame z-rotation perturbation) is
-testable with a fake backend and runs unchanged with the real devkit when
-present.
+(``data/nuscenes_pc_img_pose_loader.py:100-408``).  Record access is
+isolated behind a thin ``NuScenesBackend`` protocol with two
+implementations: the optional nuscenes-devkit (``devkit_backend``) and the
+self-contained in-repo table reader (``tables_backend`` over
+:mod:`~.nuscenes_tables`) — so the loader logic (accumulation, ego-car
+point removal, random camera pairing, ENU-frame z-rotation perturbation)
+runs on a real nuScenes download with no external packages.
 
 Parity notes:
   * ego-car points removed by the |x|<0.8, |y|<2.7 box (``:200-206``);
@@ -65,27 +66,14 @@ def load_dataset_info(root: str) -> List:
         return pickle.load(f)
 
 
-def devkit_backend(root: str, version: str) -> "NuScenesBackend":
-    """Real backend over the nuscenes-devkit (optional dependency)."""
-    from nuscenes.nuscenes import NuScenes          # type: ignore
-    from nuscenes.utils.data_classes import LidarPointCloud  # type: ignore
-    from pyquaternion import Quaternion             # type: ignore
-
-    nusc = NuScenes(version=version, dataroot=root, verbose=False)
-
-    def P_from(rec):
-        P = np.eye(4, dtype=np.float32)
-        P[:3, :3] = Quaternion(rec["rotation"]).rotation_matrix
-        P[:3, 3] = rec["translation"]
-        return P
+def _record_backend(nusc, P_from, read_lidar) -> "NuScenesBackend":
+    """NuScenesBackend over any NuScenes-shaped record store (the real
+    devkit or the in-repo :class:`~.nuscenes_tables.NuScenesTables`)."""
 
     class _Backend:
         def lidar_points(self, token):
             sd = nusc.get("sample_data", token)
-            pc = LidarPointCloud.from_file(
-                os.path.join(nusc.dataroot, sd["filename"]))
-            return pc.points[:3].T.astype(np.float32), \
-                pc.points[3:4].T.astype(np.float32)
+            return read_lidar(os.path.join(nusc.dataroot, sd["filename"]))
 
         def ego_pose(self, token):
             sd = nusc.get("sample_data", token)
@@ -114,6 +102,46 @@ def devkit_backend(root: str, version: str) -> "NuScenesBackend":
     return _Backend()
 
 
+def devkit_backend(root: str, version: str) -> "NuScenesBackend":
+    """Backend over the nuscenes-devkit (optional dependency)."""
+    from nuscenes.nuscenes import NuScenes          # type: ignore
+    from nuscenes.utils.data_classes import LidarPointCloud  # type: ignore
+    from pyquaternion import Quaternion             # type: ignore
+
+    nusc = NuScenes(version=version, dataroot=root, verbose=False)
+
+    def P_from(rec):
+        P = np.eye(4, dtype=np.float32)
+        P[:3, :3] = Quaternion(rec["rotation"]).rotation_matrix
+        P[:3, 3] = rec["translation"]
+        return P
+
+    def read_lidar(path):
+        pc = LidarPointCloud.from_file(path)
+        return pc.points[:3].T.astype(np.float32), \
+            pc.points[3:4].T.astype(np.float32)
+
+    return _record_backend(nusc, P_from, read_lidar)
+
+
+def tables_backend(root: str, version: str) -> "NuScenesBackend":
+    """Self-contained backend over the in-repo table reader
+    (:mod:`~.nuscenes_tables`) — no devkit required."""
+    from .nuscenes_tables import NuScenesTables, pose_matrix, read_lidar_bin
+    nusc = NuScenesTables(version=version, dataroot=root)
+    return _record_backend(nusc, pose_matrix, read_lidar_bin)
+
+
+def default_backend(root: str, version: str) -> "NuScenesBackend":
+    """Prefer the devkit when installed (exact upstream file handling),
+    else the in-repo table reader."""
+    try:
+        import nuscenes  # type: ignore  # noqa: F401
+    except ImportError:
+        return tables_backend(root, version)
+    return devkit_backend(root, version)
+
+
 class NuScenesLoader:
     def __init__(self, root: str, mode: str, cfg: Config,
                  backend: NuScenesBackend | None = None,
@@ -124,7 +152,7 @@ class NuScenesLoader:
         self.dataset = dataset if dataset is not None else load_dataset_info(sub)
         if backend is None:
             version = "v1.0-trainval" if mode == "train" else "v1.0-test"
-            backend = devkit_backend(sub, version)
+            backend = default_backend(sub, version)
         self.backend = backend
 
     def __len__(self):
