@@ -159,6 +159,7 @@ def main(argv=None):
     if args.nodes:
         overrides["node_a_num"] = args.nodes
         overrides["node_b_num"] = args.nodes
+        overrides["k_ab"] = min(maker().k_ab, args.nodes)
     if args.img_h:
         overrides["img_H"] = args.img_h
     if args.img_w:

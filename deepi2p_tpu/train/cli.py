@@ -115,6 +115,9 @@ def main(argv=None):
     if args.nodes:
         overrides["node_a_num"] = args.nodes
         overrides["node_b_num"] = args.nodes
+        # kNN over node_b cannot ask for more neighbours than nodes exist
+        # (the reference asserts this, models/layers_pc.py:717)
+        overrides["k_ab"] = min(maker().k_ab, args.nodes)
     if args.synthetic_scene:
         overrides["synthetic_scene"] = args.synthetic_scene
     if args.img_h:

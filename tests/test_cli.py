@@ -52,6 +52,34 @@ def test_eval_cli_dump_and_solve(tmp_path, capsys):
     assert np.isfinite(summ["rte_mean"])
 
 
+@pytest.mark.parametrize("preset,enu", [("kitti", False), ("nuscenes", True)])
+def test_e2e_chain_dataset_shapes(tmp_path, preset, enu):
+    """Tiny-scale train->dump->solve at the kitti-shaped (y-rotation) and
+    nuscenes-shaped (ENU cloud, z-rotation, ``--enu2cam`` at solve —
+    ``evaluation/registration_lsq.py:237-248``) configs, so those label/eval
+    code paths execute end-to-end in CI."""
+    from deepi2p_tpu.train.cli import main as train_main
+    from deepi2p_tpu.eval.cli import main as eval_main
+    dims = ["--synthetic-preset", preset, "--points", "128", "--nodes", "8",
+            "--img-h", "32", "--img-w", "64"]
+    train_main(["--dataset", "synthetic", "--epochs", "1",
+                "--synthetic-len", "4", "--batch-size", "2", "--workers", "1",
+                "--checkpoints-dir", str(tmp_path / "ck"),
+                "--log-dir", str(tmp_path / "runs")] + dims)
+    out = str(tmp_path / "dump")
+    eval_main(["dump", "--dataset", "synthetic", "--out", out,
+               "--batch-size", "2", "--max-batches", "1",
+               "--checkpoint", str(tmp_path / "ck")] + dims)
+    assert any(f.endswith("_pc_label.npy") for f in os.listdir(out))
+    solve = ["solve", "--data-dir", out, "--method", "frustum",
+             "--img-h", "32", "--img-w", "64", "--n-inits", "2",
+             "--max-iter", "4"]
+    if enu:
+        solve.append("--enu2cam")
+    summ = eval_main(solve)
+    assert summ["num_pairs"] == 2 and np.isfinite(summ["rte_mean"])
+
+
 def test_eval_cli_dump_inside_threshold(tmp_path):
     """p_inside > t decision: t->0 predicts (nearly) everything inside,
     t=0.5 equals the argmax dump."""
