@@ -105,13 +105,17 @@ def evaluate_registration(data_dir: str, *, method: str = "frustum",
         # clouds are padded to a common size with a far sentinel that can
         # never win a nearest-neighbour race or count as an inlier.
         from ..register.icp import icp_batch
-        field = "coarse_label" if use_labels else "coarse_pred"
         pseudos = []
         for prefix, d in zip(prefixes, dumps):
             pseudo = np.load(os.path.join(pseudo_dir,
                                           prefix + "_pc.npy")).T  # (M, 3)
+            # depth-scale calibration against the GT-VISIBLE mean depth —
+            # the reference recomputes the inside mask from the GT pose at
+            # eval time (``registration_icp.py:216-219``), which is what
+            # ``coarse_label`` stores; predictions must NOT drive this
+            # (behind-camera false positives crush the scale).
             cam = d["pc"] @ d["P"][:3, :3].T + d["P"][:3, 3]
-            inside = d[field].astype(np.float32)
+            inside = d["coarse_label"].astype(np.float32)
             mean_gt = (np.sum(cam[:, 2] * inside)
                        / max(np.sum(inside), 1.0))
             s = mean_gt / max(float(np.mean(pseudo[:, 2])), 1e-6)

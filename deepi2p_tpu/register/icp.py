@@ -129,9 +129,23 @@ def _icp_point_to_point_impl(source, target, P_init, *, threshold, max_iter):
 
 def flatten_2d(P: jax.Array) -> jax.Array:
     """Force the y-axis unknowns out of the solution
-    (``registration_icp.py:127-133``)."""
-    P = P.at[0, 1].set(0.0).at[1, 0].set(0.0).at[1, 1].set(1.0)
-    return P.at[1, 2].set(0.0).at[2, 1].set(0.0)
+    (``registration_icp.py:127-133``).
+
+    The reference zeroes the y row/column and moves on; when the ICP
+    solution had genuine y-coupling the zeroed block is no longer a
+    rotation, and the reference silently relied on (old) scipy's
+    ``Rotation.from_matrix`` best-fit orthonormalisation downstream —
+    newer scipy raises on a non-positive determinant instead.  Make the
+    implicit step explicit: project the zeroed block to the nearest
+    y-rotation (polar decomposition of the xz 2x2, closed form via
+    atan2), which is exactly the Frobenius-nearest rotation with the
+    prescribed y structure.
+    """
+    ry = jnp.arctan2(P[0, 2] - P[2, 0], P[0, 0] + P[2, 2])
+    c, s = jnp.cos(ry), jnp.sin(ry)
+    R = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    R = R.at[0, 0].set(c).at[0, 2].set(s).at[2, 0].set(-s).at[2, 2].set(c)
+    return P.at[:3, :3].set(R)
 
 
 def _draw_inits(rng, n_inits, t_amplitude, ry_amplitude):

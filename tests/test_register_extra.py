@@ -139,6 +139,31 @@ def test_icp_random_init_and_flatten(rng):
     assert float(res.fitness) > 0.5
 
 
+def test_flatten_2d_is_a_rotation(rng):
+    """flatten_2d of a pose with genuine y-coupling must return a PROPER
+    y-rotation (det=1, orthonormal) — the reference's naive zeroing
+    (``registration_icp.py:127-133``) left a non-rotation and relied on
+    old scipy's silent best-fit; newer scipy raises on it."""
+    from scipy.spatial.transform import Rotation
+    from deepi2p_tpu.register.icp import flatten_2d
+    for i in range(5):
+        R3 = Rotation.from_euler(
+            "yxz", rng.uniform(-1, 1, 3) * [np.pi, 0.4, 0.4]).as_matrix()
+        P = np.eye(4, dtype=np.float32)
+        P[:3, :3] = R3
+        P[:3, 3] = rng.uniform(-5, 5, 3)
+        F = np.asarray(flatten_2d(jnp.asarray(P)))
+        np.testing.assert_allclose(F[:3, :3] @ F[:3, :3].T, np.eye(3),
+                                   atol=1e-5)
+        assert np.linalg.det(F[:3, :3]) > 0.99
+        assert F[1, 1] == 1.0 and F[0, 1] == 0.0 and F[2, 1] == 0.0
+        # it is the NEAREST y-rotation: yaw matches the polar solution
+        ry = np.arctan2(P[0, 2] - P[2, 0], P[0, 0] + P[2, 2])
+        np.testing.assert_allclose(F[0, 2], np.sin(ry), atol=1e-5)
+        # scipy accepts it without raising
+        Rotation.from_matrix(F[:3, :3])
+
+
 def test_icp_batch_padded_targets(rng):
     """icp_batch: one dispatch for pairs x inits; far-sentinel padding of
     differently-sized targets must not change the solution."""
