@@ -44,3 +44,59 @@ class CheckpointManager:
 
     def close(self):
         self._mgr.close()
+
+
+# -- compact cross-session snapshots ---------------------------------------
+#
+# The full orbax state (params + BN + Adam moments) is ~3x the params size;
+# for carrying a run across VM rebuilds (where only the git repo survives)
+# we persist a params+BN+step .npz instead and rebuild the optimizer fresh
+# on warm start.  Adam moments re-estimate within ~100 steps; the step
+# counter keeps the lr schedule and fresh-scene seeds on track.
+
+def export_npz(state: TrainState, path: str):
+    """Write params + batch_stats + step to a single ``.npz``."""
+    import numpy as np
+    import jax
+
+    arrays = {"__step__": np.asarray(state.step)}
+    for name, tree in (("params", state.params),
+                       ("batch_stats", state.batch_stats)):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        for keypath, leaf in flat:
+            arrays[name + jax.tree_util.keystr(keypath)] = np.asarray(leaf)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
+def warm_start_npz(template: TrainState, path: str, tx) -> TrainState:
+    """Rebuild a TrainState from :func:`export_npz` output.
+
+    ``template`` supplies the tree structure (from ``Engine.init_state``);
+    ``tx`` (the engine's optax transform) initialises fresh Adam moments.
+    """
+    import numpy as np
+    import jax
+
+    with np.load(path) as z:
+        arrays = {k: z[k] for k in z.files}
+
+    def rebuild(name, tree):
+        flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+        leaves = []
+        for keypath, leaf in flat:
+            key = name + jax.tree_util.keystr(keypath)
+            arr = arrays[key]
+            if arr.shape != leaf.shape:
+                raise ValueError(f"{key}: snapshot {arr.shape} != "
+                                 f"template {leaf.shape}")
+            leaves.append(arr.astype(leaf.dtype))
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    params = rebuild("params", template.params)
+    batch_stats = rebuild("batch_stats", template.batch_stats)
+    return template.replace(step=arrays["__step__"].astype("int32"),
+                            params=params, batch_stats=batch_stats,
+                            opt_state=tx.init(params))

@@ -92,6 +92,15 @@ def main(argv=None):
                    help="up-weight the inside-frustum coarse class in the "
                         "focal loss (cfg.coarse_inside_weight)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ckpt-every", type=int, default=0,
+                   help="also checkpoint every N steps (0 = per-epoch "
+                        "only); resume restarts the interrupted epoch "
+                        "from its beginning with the restored state")
+    p.add_argument("--warm-start", default="",
+                   help="params+BN+step .npz (checkpoint.export_npz) to "
+                        "warm-start from when no orbax checkpoint exists "
+                        "(fresh Adam moments); used to carry runs across "
+                        "VM rebuilds where only the git repo survives")
     args = p.parse_args(argv)
 
     if args.dataset == "synthetic":
@@ -143,11 +152,21 @@ def main(argv=None):
     engine = ShardedEngine(cfg, mesh, steps_per_epoch=steps_per_epoch)
     logger = MetricsLogger(args.log_dir)
     ckpt = CheckpointManager(cfg.checkpoints_dir)
+    import os
+    from .checkpoint import export_npz
+    npz_path = os.path.join(cfg.checkpoints_dir, "latest.npz")
 
     example = BatchLoader(train_ds, cfg.batch_size,
                           num_workers=1, seed=0).__iter__().__next__()
     state = engine.init_state(jax.random.PRNGKey(args.seed), example)
     start_epoch = 0
+    if args.warm_start and not (args.resume and ckpt.latest_step() is not None):
+        from .checkpoint import warm_start_npz
+        state = warm_start_npz(state, args.warm_start, engine.tx)
+        state = jax.device_put(state)
+        start_epoch = int(state.step) // steps_per_epoch
+        print(f"warm-started from {args.warm_start} at step "
+              f"{int(state.step)} (epoch {start_epoch})")
     if args.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
         # continue the epoch count (epochs is the TOTAL budget, not an
@@ -169,6 +188,9 @@ def main(argv=None):
             rng, sub = jax.random.split(rng)
             state, metrics = engine.train_step(state, batch, sub)
             step = int(state.step)
+            if args.ckpt_every and step % args.ckpt_every == 0:
+                ckpt.save(state)
+                export_npz(state, npz_path)
             if step % args.log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 logger.log_scalars("train", m, step)
@@ -193,6 +215,7 @@ def main(argv=None):
                   ", ".join(f"{k}={v:.4f}" for k, v in val.items()),
                   flush=True)
         ckpt.save(state, metrics=val if n else None)
+        export_npz(state, npz_path)
         print(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s",
               flush=True)
 

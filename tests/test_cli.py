@@ -33,6 +33,45 @@ def test_train_cli_synthetic(tmp_path):
         "--log-dir", str(tmp_path / "runs"),
     ])
     assert int(state3.step) == 4
+    # compact cross-session snapshot: exported alongside each save, and
+    # warm-starting a FRESH checkpoints dir from it resumes the epoch
+    # count / lr schedule (fresh Adam moments by design)
+    npz = tmp_path / "ck" / "latest.npz"
+    assert npz.exists()
+    state4 = main([
+        "--dataset", "synthetic", "--epochs", "3", "--synthetic-len", "4",
+        "--batch-size", "2", "--workers", "1",
+        "--warm-start", str(npz),
+        "--checkpoints-dir", str(tmp_path / "ck2"),
+        "--log-dir", str(tmp_path / "runs"),
+    ])
+    assert int(state4.step) == 6
+
+
+def test_export_npz_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from deepi2p_tpu.train.checkpoint import export_npz, warm_start_npz
+    from deepi2p_tpu.train.engine import TrainState
+    import optax
+
+    params = {"dense": {"w": jnp.arange(6.0).reshape(2, 3),
+                        "b": jnp.zeros((3,))}}
+    bn = {"bn": {"mean": jnp.ones((3,))}}
+    tx = optax.adam(1e-3)
+    state = TrainState(step=jnp.asarray(7, jnp.int32), params=params,
+                       batch_stats=bn, opt_state=tx.init(params))
+    path = str(tmp_path / "s.npz")
+    export_npz(state, path)
+    template = TrainState(step=jnp.zeros((), jnp.int32),
+                          params=jax.tree.map(jnp.zeros_like, params),
+                          batch_stats=jax.tree.map(jnp.zeros_like, bn),
+                          opt_state=tx.init(params))
+    back = warm_start_npz(template, path, tx)
+    assert int(back.step) == 7
+    assert float(jnp.abs(back.params["dense"]["w"]
+                         - params["dense"]["w"]).max()) == 0.0
+    assert float(back.batch_stats["bn"]["mean"].sum()) == 3.0
 
 
 def test_eval_cli_dump_and_solve(tmp_path, capsys):
