@@ -176,6 +176,10 @@ def main(argv=None):
         print(f"resumed at step {int(state.step)} (epoch {start_epoch})")
 
     rng = jax.random.PRNGKey(args.seed + 1)
+    # host-side mirror of state.step: fetching int(state.step) every
+    # iteration is a blocking device sync (hundreds of ms over the TPU
+    # relay) that serializes dispatch; sync only at log/ckpt boundaries
+    step = int(state.step)
     for epoch in range(start_epoch, epochs):
         t_epoch = time.time()
         if hasattr(train_ds, "set_epoch"):
@@ -187,7 +191,7 @@ def main(argv=None):
                                      placer=engine.place_batch):
             rng, sub = jax.random.split(rng)
             state, metrics = engine.train_step(state, batch, sub)
-            step = int(state.step)
+            step += 1
             if args.ckpt_every and step % args.ckpt_every == 0:
                 ckpt.save(state)
                 export_npz(state, npz_path)
@@ -216,6 +220,7 @@ def main(argv=None):
                   flush=True)
         ckpt.save(state, metrics=val if n else None)
         export_npz(state, npz_path)
+        step = int(state.step)   # resync the host mirror at the epoch seam
         print(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s",
               flush=True)
 
