@@ -41,6 +41,14 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
     return {k: jax.device_put(v, s) for k, v in batch.items()}
 
 
+def shard_stacked_batch(mesh: Mesh, batches: Dict[str, Any]) -> Dict[str, Any]:
+    """Placement for (K, B, ...) scan-stacked batches: the scan axis K is
+    replicated (every device walks the same K trips), the batch axis B is
+    data-parallel — so K-steps-per-dispatch composes with DP."""
+    s = NamedSharding(mesh, P(None, "data"))
+    return {k: jax.device_put(v, s) for k, v in batches.items()}
+
+
 def _leaf_spec(x, min_shard_dim: int, n_model: int) -> P:
     """Shard the trailing (output-channel) axis of wide kernels over 'model'."""
     shape = getattr(x, "shape", ())
@@ -80,3 +88,6 @@ class ShardedEngine(Engine):
 
     def place_batch(self, batch):
         return shard_batch(self.mesh, batch)
+
+    def place_stacked(self, batches):
+        return shard_stacked_batch(self.mesh, batches)

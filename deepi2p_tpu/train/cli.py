@@ -26,6 +26,21 @@ from .checkpoint import CheckpointManager
 from ..utils.logging import MetricsLogger
 
 
+def _stacked(batch_iter, k: int):
+    """Group k consecutive (B, ...) batches into one (k, B, ...) stack
+    (host-side, for scan dispatch); a ragged tail of <k is dropped."""
+    import numpy as np
+    while True:
+        group = []
+        for b in batch_iter:
+            group.append(b)
+            if len(group) == k:
+                break
+        if len(group) < k:
+            return
+        yield {key: np.stack([g[key] for g in group]) for key in group[0]}
+
+
 def build_loaders(cfg, args):
     if args.dataset == "synthetic":
         train = SyntheticDataset(cfg, length=args.synthetic_len, seed=0,
@@ -96,6 +111,13 @@ def main(argv=None):
                    help="also checkpoint every N steps (0 = per-epoch "
                         "only); resume restarts the interrupted epoch "
                         "from its beginning with the restored state")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="run K train steps per device dispatch via "
+                        "lax.scan over K host-stacked batches: identical "
+                        "training dynamics, but the tunneled relay's "
+                        "fixed per-dispatch latency is paid once per K "
+                        "steps (ragged epoch tails of <K batches are "
+                        "dropped)")
     p.add_argument("--warm-start", default="",
                    help="params+BN+step .npz (checkpoint.export_npz) to "
                         "warm-start from when no orbax checkpoint exists "
@@ -180,6 +202,7 @@ def main(argv=None):
     # iteration is a blocking device sync (hundreds of ms over the TPU
     # relay) that serializes dispatch; sync only at log/ckpt boundaries
     step = int(state.step)
+    last_ckpt = last_log = step
     for epoch in range(start_epoch, epochs):
         t_epoch = time.time()
         if hasattr(train_ds, "set_epoch"):
@@ -187,15 +210,26 @@ def main(argv=None):
         loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True,
                              num_workers=args.workers,
                              seed=args.seed + epoch)
-        for batch in device_prefetch(iter(loader), size=2,
-                                     placer=engine.place_batch):
+        K = max(args.steps_per_dispatch, 1)
+        if K == 1:
+            stream = device_prefetch(iter(loader), size=2,
+                                     placer=engine.place_batch)
+        else:
+            stream = device_prefetch(_stacked(iter(loader), K), size=2,
+                                     placer=engine.place_stacked)
+        for batch in stream:
             rng, sub = jax.random.split(rng)
-            state, metrics = engine.train_step(state, batch, sub)
-            step += 1
-            if args.ckpt_every and step % args.ckpt_every == 0:
+            if K == 1:
+                state, metrics = engine.train_step(state, batch, sub)
+            else:
+                state, metrics = engine.train_step_scan(state, batch, sub)
+            step += K
+            if args.ckpt_every and step - last_ckpt >= args.ckpt_every:
+                last_ckpt = step
                 ckpt.save(state)
                 export_npz(state, npz_path)
-            if step % args.log_every == 0:
+            if step - last_log >= args.log_every:
+                last_log = step
                 m = {k: float(v) for k, v in metrics.items()}
                 logger.log_scalars("train", m, step)
                 print(f"epoch {epoch} step {step}: " +

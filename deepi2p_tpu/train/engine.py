@@ -58,6 +58,7 @@ class Engine:
         self.schedule = make_lr_schedule(cfg, steps_per_epoch)
         self.tx = optax.adam(self.schedule, b1=0.9, b2=0.999)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._train_scan = jax.jit(self._train_scan_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
         self._infer = jax.jit(self._infer_impl)
         self._infer_probs = jax.jit(self._infer_probs_impl)
@@ -130,6 +131,27 @@ class Engine:
                                   batch_stats=new_stats, opt_state=opt_state)
         return new_state, metrics
 
+    def _train_scan_impl(self, state: TrainState, batches, rng):
+        """K train steps in ONE dispatch (``lax.scan`` over a stacked
+        (K, B, ...) batch pytree).
+
+        Identical training dynamics to K separate :meth:`train_step`
+        calls — same per-step rng splits, BN updates, Adam updates —
+        but the tunneled relay's fixed per-dispatch latency is paid once
+        per K steps instead of per step.  Returns the LAST trip's
+        metrics (matching what a per-step loop would log at the
+        boundary)."""
+        K = jax.tree_util.tree_leaves(batches)[0].shape[0]
+        keys = jax.random.split(rng, K)
+
+        def body(carry, xs):
+            batch, key = xs
+            new_state, metrics = self._train_step_impl(carry, batch, key)
+            return new_state, metrics
+
+        state, ms = jax.lax.scan(body, state, (batches, keys))
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
     def _eval_step_impl(self, state: TrainState, batch):
         out, _ = self._forward(state.params, state.batch_stats, batch, False,
                                None)
@@ -167,6 +189,10 @@ class Engine:
         if self.cfg.is_debug:  # loss-dict echo (multimodal_classifier.py:209)
             print({k: float(v) for k, v in metrics.items()})
         return state, metrics
+
+    def train_step_scan(self, state, batches, rng):
+        """K steps per dispatch; ``batches`` leaves are (K, B, ...)."""
+        return self._train_scan(state, batches, rng)
 
     def eval_step(self, state, batch):
         return self._eval_step(state, batch)

@@ -48,6 +48,18 @@ def test_train_cli_synthetic(tmp_path):
     assert int(state4.step) == 6
 
 
+def test_train_cli_steps_per_dispatch(tmp_path):
+    from deepi2p_tpu.train.cli import main
+    state = main([
+        "--dataset", "synthetic", "--epochs", "1", "--synthetic-len", "8",
+        "--batch-size", "2", "--workers", "1", "--log-every", "2",
+        "--steps-per-dispatch", "2",
+        "--checkpoints-dir", str(tmp_path / "ck"),
+        "--log-dir", str(tmp_path / "runs"),
+    ])
+    assert int(state.step) == 4  # 4 steps = 2 scan dispatches of K=2
+
+
 def test_export_npz_roundtrip(tmp_path):
     import jax
     import jax.numpy as jnp

@@ -118,6 +118,38 @@ def test_train_step_decreases_loss():
     assert set(np.unique(np.asarray(coarse_pred))) <= {0, 1}
 
 
+def test_train_step_scan_matches_loop():
+    """K steps in one lax.scan dispatch == K sequential train steps
+    (same per-trip keys), so --steps-per-dispatch cannot change training
+    dynamics — only how often the relay round-trip is paid."""
+    cfg = config.tiny()
+    eng = Engine(cfg, steps_per_epoch=100)
+    K = 3
+    batches = [synthetic_batch(cfg, seed=10 + i) for i in range(K)]
+    stacked = {k: jnp.stack([jnp.asarray(b[k]) for b in batches])
+               for k in batches[0]}
+    state0 = eng.init_state(jax.random.PRNGKey(0), batches[0])
+
+    rng = jax.random.PRNGKey(42)
+    s_scan, m_scan = eng.train_step_scan(state0, stacked, rng)
+
+    state0b = eng.init_state(jax.random.PRNGKey(0), batches[0])
+    keys = jax.random.split(rng, K)
+    s_loop = state0b
+    for i in range(K):
+        b = {k: jnp.asarray(v) for k, v in batches[i].items()}
+        s_loop, m_loop = eng.train_step(s_loop, b, keys[i])
+
+    assert int(s_scan.step) == K == int(s_loop.step)
+    assert np.isclose(float(m_scan["loss"]), float(m_loop["loss"]),
+                      rtol=1e-5)
+    flat_a = jax.tree_util.tree_leaves(s_scan.params)
+    flat_b = jax.tree_util.tree_leaves(s_loop.params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
 def test_labels_inside_fraction_sane():
     cfg = config.tiny()
     b = synthetic_batch(cfg, seed=3)
