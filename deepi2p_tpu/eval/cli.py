@@ -89,6 +89,14 @@ def main(argv=None):
     s.add_argument("--enu2cam", action="store_true",
                    help="convert ENU dumps (nuScenes) to camera convention "
                         "before solving (registration_lsq.py:237-248)")
+    s.add_argument("--icp-coarse-threshold", type=float, default=None,
+                   help="icp: multi-scale anneal start in metres (None = "
+                        "the reference's fixed 1 m; widens the "
+                        "convergence basin)")
+    s.add_argument("--icp-seed", default="none",
+                   choices=["none", "frustum"],
+                   help="icp: seed half the inits around the frustum "
+                        "solution from the same predictions")
     s.add_argument("--debug-vis", default=None, metavar="DIR",
                    help="write per-sample solver debug images (trace, "
                         "TP/FP/FN scene, iteration overlay) to DIR")
@@ -125,7 +133,9 @@ def main(argv=None):
             use_labels=args.use_labels, pseudo_dir=args.pseudo_dir,
             save_dir=args.save_dir, enu2cam=args.enu2cam,
             outside_weight=args.outside_weight,
-            inside_threshold=args.inside_threshold)
+            inside_threshold=args.inside_threshold,
+            icp_coarse_threshold=args.icp_coarse_threshold,
+            icp_seed=args.icp_seed)
         if args.debug_vis:
             from .debug_vis import debug_report
             from .dump import list_dump_prefixes
@@ -189,9 +199,16 @@ def main(argv=None):
     state = engine.init_state(jax.random.PRNGKey(0),
                               {k: jnp.asarray(v) for k, v in example.items()})
     if args.checkpoint:
-        mgr = CheckpointManager(args.checkpoint)
-        state = mgr.restore(state)
-        mgr.close()
+        if args.checkpoint.endswith(".npz"):
+            # compact params+BN+step snapshot (train.checkpoint.export_npz) —
+            # the artifact that survives VM rebuilds and is committed to git,
+            # so headline tables are regenerable from a fresh clone
+            from ..train.checkpoint import warm_start_npz
+            state = warm_start_npz(state, args.checkpoint, engine.tx)
+        else:
+            mgr = CheckpointManager(args.checkpoint)
+            state = mgr.restore(state)
+            mgr.close()
     coarse_acc, fine_acc = dump_predictions(
         engine, state, iter(loader), cfg, args.out,
         max_batches=args.max_batches, save_images=args.save_images,

@@ -48,7 +48,9 @@ def evaluate_registration(data_dir: str, *, method: str = "frustum",
                           save_dir: Optional[str] = None,
                           enu2cam: bool = False,
                           outside_weight: float = 1.0,
-                          inside_threshold: Optional[float] = None
+                          inside_threshold: Optional[float] = None,
+                          icp_coarse_threshold: Optional[float] = None,
+                          icp_seed: str = "none"
                           ) -> Dict[str, float]:
     """Run a solver over a dump directory and summarise RTE/RRE/success.
 
@@ -72,6 +74,13 @@ def evaluate_registration(data_dir: str, *, method: str = "frustum",
         picks a recall-heavy operating point for the frustum cost
         without re-running the network.  None keeps the dumped
         (argmax or dump-time-thresholded) decision.
+      icp_coarse_threshold: multi-scale ICP anneal start in metres
+        (None = the reference's fixed 1 m threshold; basin widening).
+      icp_seed: 'none' (the reference's blind ±2π draws) or 'frustum' —
+        seed half of ICP's inits around the frustum solver's solution on
+        the same predictions (the reference never composes its solvers;
+        with a working classifier this turns ICP from the weakest
+        baseline into a refinement stage).
     """
     prefixes = list_dump_prefixes(data_dir)[::stride]
     dumps = [load_dump(data_dir, p) for p in prefixes]
@@ -105,6 +114,25 @@ def evaluate_registration(data_dir: str, *, method: str = "frustum",
         # clouds are padded to a common size with a far sentinel that can
         # never win a nearest-neighbour race or count as an inlier.
         from ..register.icp import icp_batch
+        P_seed_all = None
+        if icp_seed == "frustum":
+            # seed poses: the frustum solver's solution from the same
+            # predictions at the reference budget
+            P_seed_all = np.zeros((len(dumps), 4, 4), np.float32)
+            key_s = jax.random.PRNGKey(seed + 9000)
+            for start in range(0, len(dumps), batch_size):
+                chunk = dumps[start:start + batch_size]
+                pc = jnp.asarray(np.stack([d["pc"] for d in chunk]),
+                                 jnp.float32)
+                coarse = jnp.asarray(np.stack([d["coarse_pred"]
+                                               for d in chunk]))
+                Km = jnp.asarray(np.stack([d["K"] for d in chunk]),
+                                 jnp.float32)
+                key_s, sub = jax.random.split(key_s)
+                P_s, _ = solve_frustum_batch(pc, coarse, Km, H=H, W=W,
+                                             rng=sub, n_inits=60,
+                                             max_iter=32)
+                P_seed_all[start:start + len(chunk)] = np.asarray(P_s)
         pseudos = []
         for prefix, d in zip(prefixes, dumps):
             pseudo = np.load(os.path.join(pseudo_dir,
@@ -131,7 +159,10 @@ def evaluate_registration(data_dir: str, *, method: str = "frustum",
                             jnp.asarray(target[start:start + len(chunk)]),
                             jax.random.fold_in(jax.random.PRNGKey(seed),
                                                start),
-                            n_inits=n_inits, max_iter=max_iter)
+                            n_inits=n_inits, max_iter=max_iter,
+                            coarse_threshold=icp_coarse_threshold,
+                            P_seed=(None if P_seed_all is None else
+                                    P_seed_all[start:start + len(chunk)]))
             P_pred_all[start:start + len(chunk)] = np.asarray(res.P)
             cost_all[start:start + len(chunk)] = np.asarray(res.fitness)
             for i, d in enumerate(chunk):

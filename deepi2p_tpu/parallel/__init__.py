@@ -9,4 +9,5 @@ layers), with XLA inserting ``psum`` over ICI for the gradient reduction.
 The point axis can additionally be sharded over 'model' (sequence-parallel
 analog) if N grows (SURVEY.md §2.3/§5).
 """
-from .mesh import make_mesh, batch_sharding, shard_batch, ShardedEngine
+from .mesh import (make_mesh, batch_sharding, shard_batch, shard_state,
+                   ShardedEngine)

@@ -32,13 +32,16 @@ def pair_keys(rng, n_pairs: int):
 
 def make_sharded_registration(mesh: Mesh, apply_fn, *, H: int, W: int,
                               n_inits: int = 64, max_iter: int = 24,
-                              solver_stride: int = 1):
+                              solver_stride: int = 1, is_2d: bool = True):
     """Build a jitted SPMD registration step.
 
     Args:
       mesh: device mesh with a 'data' axis (batch must divide it).
       apply_fn: ``apply_fn(variables, batch) -> coarse_logits (B, N, 2)``
         — typically a closure over ``KeypointDetector.apply``.
+      is_2d: True = the reference's eval mode ([ry, tx, ty, tz],
+        ``registration_lsq.py:264``); False = full 6-DoF angle-axis mode
+        ([rx, ry, rz, tx, ty, tz]) — same shard_map layout, wider theta.
     Returns:
       ``step(variables, batch, keys) -> (P (B,4,4), cost (B,))`` with
       ``batch`` a dict of (B, ...) arrays and ``keys`` from
@@ -57,11 +60,11 @@ def make_sharded_registration(mesh: Mesh, apply_fn, *, H: int, W: int,
         pc = batch["pc"]
         ang, _ = jax.vmap(initial_guess)(pc, pred)
         theta0 = jax.vmap(
-            lambda k, a: sample_inits(k, a, n_inits))(keys, ang)
+            lambda k, a: sample_inits(k, a, n_inits, is_2d=is_2d))(keys, ang)
         return solve_frustum_batch(pc, pred, batch["K"], H=H, W=W,
                                    n_inits=n_inits, max_iter=max_iter,
                                    solver_stride=solver_stride,
-                                   theta0=theta0)
+                                   is_2d=is_2d, theta0=theta0)
 
     data_specs = (P(), P("data"), P("data"))
     # replication checking must be off: the body calls pallas kernels the

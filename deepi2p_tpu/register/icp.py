@@ -68,9 +68,26 @@ def _kabsch(src, dst, w):
     return R, t
 
 
+def _thr_schedule(threshold: float, coarse_threshold, max_iter: int):
+    """Per-iteration correspondence thresholds.
+
+    ``coarse_threshold=None`` reproduces the reference's single fixed
+    threshold (Open3D default, ``registration_icp.py:148-162``).  A value
+    > ``threshold`` runs a multi-scale anneal (geometric decay, the
+    Open3D multi-scale recipe collapsed into one kernel): early iterations
+    accept far correspondences — widening the convergence basin that made
+    ICP the reference's weakest baseline — and the last iterations refine
+    at the fine threshold that also scores fitness."""
+    if coarse_threshold is None:
+        return jnp.full((max_iter,), threshold, jnp.float32)
+    return jnp.geomspace(coarse_threshold, threshold,
+                         max_iter).astype(jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("max_iter",))
 def icp_point_to_point(source, target, P_init, *, threshold: float = 1.0,
-                       max_iter: int = 30) -> ICPResult:
+                       max_iter: int = 30,
+                       coarse_threshold=None) -> ICPResult:
     """Fixed-iteration point-to-point ICP aligning source onto target.
 
     All matmuls at HIGHEST precision: the D=3 pose/Kabsch contractions are
@@ -79,11 +96,13 @@ def icp_point_to_point(source, target, P_init, *, threshold: float = 1.0,
 
     Args:
       source (N,3): the network point cloud; target (M,3): pseudo cloud.
+      coarse_threshold: optional starting threshold of a multi-scale
+        anneal down to ``threshold`` (see :func:`_thr_schedule`).
     """
     with jax.default_matmul_precision("highest"):
-        return _icp_point_to_point_impl(source, target, P_init,
-                                        threshold=threshold,
-                                        max_iter=max_iter)
+        return _icp_point_to_point_impl(
+            source, target, P_init, threshold=threshold, max_iter=max_iter,
+            coarse_threshold=coarse_threshold)
 
 
 def _nn1(moved, target):
@@ -103,22 +122,24 @@ def _nn1(moved, target):
     return jnp.take_along_axis(d2, nn[:, None], 1)[:, 0], nn
 
 
-def _icp_point_to_point_impl(source, target, P_init, *, threshold, max_iter):
+def _icp_point_to_point_impl(source, target, P_init, *, threshold, max_iter,
+                             coarse_threshold=None):
     R0, t0 = P_init[:3, :3], P_init[:3, 3]
+    thr_sched = _thr_schedule(threshold, coarse_threshold, max_iter)
 
-    def body(state, _):
+    def body(state, thr):
         R, t = state
         moved = source @ R.T + t
         d2m, nn = _nn1(moved, target)
         nn_d = jnp.sqrt(d2m)
-        w = (nn_d < threshold).astype(jnp.float32)
+        w = (nn_d < thr).astype(jnp.float32)
         Rn, tn = _kabsch(source, target[nn], w)
         ok = jnp.sum(w) >= 3
         R = jnp.where(ok, Rn, R)
         t = jnp.where(ok, tn, t)
         return (R, t), None
 
-    (R, t), _ = jax.lax.scan(body, (R0, t0), None, length=max_iter,
+    (R, t), _ = jax.lax.scan(body, (R0, t0), thr_sched,
                              unroll=min(4, max_iter))
     moved = source @ R.T + t
     d2m, _ = _nn1(moved, target)
@@ -148,19 +169,38 @@ def flatten_2d(P: jax.Array) -> jax.Array:
     return P.at[:3, :3].set(R)
 
 
+def _make_P_ry(ry, t):
+    c, s = jnp.cos(ry), jnp.sin(ry)
+    R = jnp.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
+    return jnp.eye(4).at[:3, :3].set(R).at[:3, 3].set(t)
+
+
 def _draw_inits(rng, n_inits, t_amplitude, ry_amplitude):
     k1, k2 = jax.random.split(rng)
     ry = jax.random.uniform(k1, (n_inits,), minval=-ry_amplitude,
                             maxval=ry_amplitude) * 2.0
     t = jax.random.uniform(k2, (n_inits, 3), minval=-1.0, maxval=1.0) \
         * jnp.asarray(t_amplitude)
+    return jax.vmap(_make_P_ry)(ry, t)
 
-    def make_P(ry, t):
-        c, s = jnp.cos(ry), jnp.sin(ry)
-        R = jnp.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
-        return jnp.eye(4).at[:3, :3].set(R).at[:3, 3].set(t)
 
-    return jax.vmap(make_P)(ry, t)
+def _seeded_inits(rng, n_inits, P_seed, *, ry_jitter: float = 0.35,
+                  t_jitter=(2.0, 0.0, 2.0)):
+    """Inits clustered around a seed pose (e.g. the frustum solution or
+    the yaw initial guess): init 0 is the exact seed, the rest are yaw/
+    translation perturbations of it.  This is the basin-widening seeding
+    the reference lacks — its ICP draws blind ±2π yaw inits
+    (``registration_icp.py:115-139``) and rarely lands in the basin."""
+    k1, k2 = jax.random.split(rng)
+    ry = jax.random.uniform(k1, (n_inits,), minval=-ry_jitter,
+                            maxval=ry_jitter)
+    dt = jax.random.uniform(k2, (n_inits, 3), minval=-1.0, maxval=1.0) \
+        * jnp.asarray(t_jitter)
+    ry = ry.at[0].set(0.0)
+    dt = dt.at[0].set(jnp.zeros(3))
+    jit_P = jax.vmap(_make_P_ry)(ry, dt)           # (n, 4, 4)
+    return jnp.einsum("nij,jk->nik", jit_P, P_seed,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def icp_random_init(source, target, rng, *, n_inits: int = 60,
@@ -181,11 +221,13 @@ def icp_random_init(source, target, rng, *, n_inits: int = 60,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_inits", "max_iter", "init_chunk"))
+                   static_argnames=("n_inits", "max_iter", "init_chunk",
+                                    "seed_frac"))
 def icp_batch(source, target, rng, *, n_inits: int = 60,
               threshold: float = 1.0, max_iter: int = 30,
               t_amplitude=(5.0, 0.0, 10.0), ry_amplitude: float = jnp.pi,
-              init_chunk: int = 8) -> ICPResult:
+              init_chunk: int = 8, coarse_threshold=None,
+              P_seed=None, seed_frac: float = 0.5) -> ICPResult:
     """Batched multi-init ICP: ONE dispatch for all pairs x inits.
 
     Replaces the per-pair python loop (each pair paid a dispatch and — with
@@ -199,20 +241,34 @@ def icp_batch(source, target, rng, *, n_inits: int = 60,
         M with a far sentinel (e.g. 1e6) — sentinel points are never nearest
         neighbours and never inliers, so padding does not bias the solution.
       rng: PRNGKey; each pair gets a folded key.
+      coarse_threshold: optional multi-scale anneal start (basin widening;
+        None = the reference's fixed threshold).
+      P_seed: optional (B, 4, 4) seed poses (frustum solution / yaw guess):
+        ``seed_frac`` of the inits cluster around the pair's seed, the rest
+        stay blind random draws so a bad seed cannot poison the solve.
     Returns:
       ICPResult with leading batch axis: P (B, 4, 4), fitness (B,).
     """
     B = source.shape[0]
     n_round = -(-n_inits // init_chunk) * init_chunk
     keys = jax.random.split(rng, B)
+    n_seed = int(n_round * seed_frac) if P_seed is not None else 0
+    seeds = (jnp.zeros((B, 4, 4)) if P_seed is None
+             else jnp.asarray(P_seed, jnp.float32))
 
     def solve_pair(args):
-        s, t, k = args
-        P_inits = _draw_inits(k, n_round, t_amplitude, ry_amplitude)
+        s, t, k, P_s = args
+        k_blind, k_seed = jax.random.split(k)
+        P_inits = _draw_inits(k_blind, n_round, t_amplitude, ry_amplitude)
+        if n_seed:
+            P_inits = jnp.concatenate(
+                [_seeded_inits(k_seed, n_seed, P_s),
+                 P_inits[n_seed:]], axis=0)
 
         def run_group(Ps):
             return jax.vmap(lambda P0: icp_point_to_point(
-                s, t, P0, threshold=threshold, max_iter=max_iter))(Ps)
+                s, t, P0, threshold=threshold, max_iter=max_iter,
+                coarse_threshold=coarse_threshold))(Ps)
 
         res = jax.lax.map(run_group,
                           P_inits.reshape(-1, init_chunk, 4, 4))
@@ -224,4 +280,4 @@ def icp_batch(source, target, rng, *, n_inits: int = 60,
         return ICPResult(P=jnp.where(ok, P_best, jnp.eye(4)),
                          fitness=fit[best])
 
-    return jax.lax.map(solve_pair, (source, target, keys))
+    return jax.lax.map(solve_pair, (source, target, keys, seeds))

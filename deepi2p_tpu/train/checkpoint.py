@@ -17,12 +17,18 @@ from .engine import TrainState
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 5):
+    def __init__(self, directory: str, max_to_keep: int = 5,
+                 keep_period: Optional[int] = None):
+        """``keep_period``: additionally retain every checkpoint whose step
+        is a multiple of it, outside the ``max_to_keep`` window — so
+        frequent mid-epoch saves (``--ckpt-every``) cannot evict the
+        epoch-boundary history."""
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                                 keep_period=keep_period,
                                                  create=True))
 
     def save(self, state: TrainState, *, metrics: Optional[dict] = None):

@@ -113,11 +113,22 @@ def main(argv=None):
                         "from its beginning with the restored state")
     p.add_argument("--steps-per-dispatch", type=int, default=1,
                    help="run K train steps per device dispatch via "
-                        "lax.scan over K host-stacked batches: identical "
-                        "training dynamics, but the tunneled relay's "
-                        "fixed per-dispatch latency is paid once per K "
-                        "steps (ragged epoch tails of <K batches are "
-                        "dropped)")
+                        "lax.scan over K host-stacked batches: same rng/"
+                        "BN/Adam sequencing as K separate steps (equal up "
+                        "to XLA fusion reassociation, which Adam amplifies "
+                        "to O(lr) per step — statistically equivalent, "
+                        "not bitwise), but the tunneled relay's fixed "
+                        "per-dispatch latency is paid once per K steps "
+                        "(ragged epoch tails of <K batches are dropped "
+                        "and the lr schedule accounts for it)")
+    p.add_argument("--device-data", action="store_true",
+                   help="synthetic only: generate batches ON the "
+                        "accelerator (data/synthetic_jax.py) instead of "
+                        "the host BatchLoader. The numpy generator costs "
+                        "~35 ms/sample on this 1-core host — the chip "
+                        "idles ~84%% of a street epoch; device-side "
+                        "generation makes the step compute-bound and "
+                        "removes the host->device image transfer")
     p.add_argument("--warm-start", default="",
                    help="params+BN+step .npz (checkpoint.export_npz) to "
                         "warm-start from when no orbax checkpoint exists "
@@ -164,6 +175,15 @@ def main(argv=None):
 
     train_ds, val_ds = build_loaders(cfg, args)
     steps_per_epoch = max(len(train_ds) // cfg.batch_size, 1)
+    K = max(args.steps_per_dispatch, 1)
+    if K > 1 and steps_per_epoch % K:
+        # _stacked drops ragged tails of <K batches; round the schedule's
+        # steps_per_epoch down to match so lr-decay boundaries and the
+        # resume epoch accounting track the steps that actually run
+        dropped = steps_per_epoch % K
+        steps_per_epoch -= dropped
+        print(f"steps-per-dispatch {K}: epoch rounded to {steps_per_epoch} "
+              f"steps ({dropped} ragged batches/epoch dropped)")
 
     # the data axis must divide the batch; drop devices if batch is tiny
     import math
@@ -173,7 +193,10 @@ def main(argv=None):
     mesh = make_mesh(n_model=args.mesh_model, devices=devices)
     engine = ShardedEngine(cfg, mesh, steps_per_epoch=steps_per_epoch)
     logger = MetricsLogger(args.log_dir)
-    ckpt = CheckpointManager(cfg.checkpoints_dir)
+    # keep_period: mid-epoch --ckpt-every saves must not evict epoch-
+    # boundary checkpoints (max_to_keep=5 alone cycles in ~1500 steps)
+    ckpt = CheckpointManager(cfg.checkpoints_dir,
+                             keep_period=10 * steps_per_epoch)
     import os
     from .checkpoint import export_npz
     npz_path = os.path.join(cfg.checkpoints_dir, "latest.npz")
@@ -182,20 +205,39 @@ def main(argv=None):
                           num_workers=1, seed=0).__iter__().__next__()
     state = engine.init_state(jax.random.PRNGKey(args.seed), example)
     start_epoch = 0
+    from ..parallel import shard_state
+
+    def _floor_to_epoch(state, what):
+        """Mid-epoch restores restart the interrupted epoch from its
+        beginning; floor ``state.step`` to the epoch boundary so the lr
+        schedule's ``step // steps_per_epoch`` and the ``--epochs`` total
+        budget stay aligned with the loop epoch across kill+resume cycles."""
+        import jax.numpy as jnp
+        step0 = int(state.step)
+        epoch = step0 // steps_per_epoch
+        floored = epoch * steps_per_epoch
+        if floored != step0:
+            state = state.replace(step=jnp.asarray(floored, jnp.int32))
+        print(f"{what} at step {step0} (epoch {epoch}"
+              + (f"; step floored to {floored}" if floored != step0 else "")
+              + ")")
+        return state, epoch
+
     if args.warm_start and not (args.resume and ckpt.latest_step() is not None):
         from .checkpoint import warm_start_npz
         state = warm_start_npz(state, args.warm_start, engine.tx)
-        state = jax.device_put(state)
-        start_epoch = int(state.step) // steps_per_epoch
-        print(f"warm-started from {args.warm_start} at step "
-              f"{int(state.step)} (epoch {start_epoch})")
+        # re-place with the mesh layout init_state established (bare
+        # device_put would silently drop the TP sharding of wide kernels)
+        state = shard_state(engine.mesh, state)
+        state, start_epoch = _floor_to_epoch(
+            state, f"warm-started from {args.warm_start}")
     if args.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
+        state = shard_state(engine.mesh, state)
         # continue the epoch count (epochs is the TOTAL budget, not an
         # increment): fresh-scene seeds, val cadence and the log all pick
         # up where the interrupted run stopped
-        start_epoch = int(state.step) // steps_per_epoch
-        print(f"resumed at step {int(state.step)} (epoch {start_epoch})")
+        state, start_epoch = _floor_to_epoch(state, "resumed")
 
     rng = jax.random.PRNGKey(args.seed + 1)
     # host-side mirror of state.step: fetching int(state.step) every
@@ -203,18 +245,41 @@ def main(argv=None):
     # relay) that serializes dispatch; sync only at log/ckpt boundaries
     step = int(state.step)
     last_ckpt = last_log = step
+    if args.device_data and args.dataset != "synthetic":
+        raise SystemExit("--device-data requires --dataset synthetic")
+    if args.device_data:
+        from ..data.synthetic_jax import (synthetic_batch_jax,
+                                          synthetic_stacked_jax)
+        # disjoint from the model/loader seed spaces; fresh scenes per
+        # epoch via fold_in(epoch), like SyntheticDataset(fresh=True)
+        data_key = jax.random.PRNGKey(args.seed + 424242)
+        val_key = jax.random.PRNGKey(args.seed + 31337)  # FIXED val scenes
+
+        def _device_stream(epoch):
+            ek = jax.random.fold_in(data_key, epoch)
+            for i in range(steps_per_epoch // K):
+                kk = jax.random.fold_in(ek, i)
+                yield (synthetic_batch_jax(cfg, kk) if K == 1 else
+                       synthetic_stacked_jax(cfg, kk, K))
+
     for epoch in range(start_epoch, epochs):
         t_epoch = time.time()
         if hasattr(train_ds, "set_epoch"):
             train_ds.set_epoch(epoch)
-        loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True,
-                             num_workers=args.workers,
-                             seed=args.seed + epoch)
-        K = max(args.steps_per_dispatch, 1)
-        if K == 1:
+        if args.device_data:
+            # already on-device; place() only re-lays-out for the mesh
+            place = engine.place_batch if K == 1 else engine.place_stacked
+            stream = (place(b) for b in _device_stream(epoch))
+        elif K == 1:
+            loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True,
+                                 num_workers=args.workers,
+                                 seed=args.seed + epoch)
             stream = device_prefetch(iter(loader), size=2,
                                      placer=engine.place_batch)
         else:
+            loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True,
+                                 num_workers=args.workers,
+                                 seed=args.seed + epoch)
             stream = device_prefetch(_stacked(iter(loader), K), size=2,
                                      placer=engine.place_stacked)
         for batch in stream:
@@ -237,11 +302,18 @@ def main(argv=None):
                       flush=True)
 
         # per-epoch validation (kitti/train_classifier.py:101-137)
-        val_loader = BatchLoader(val_ds, cfg.batch_size, shuffle=False,
-                                 num_workers=args.workers, seed=0)
+        if args.device_data:
+            # the SAME val scenes every epoch (val_key is not epoch-folded)
+            val_stream = (engine.place_batch(
+                synthetic_batch_jax(cfg, jax.random.fold_in(val_key, i)))
+                for i in range(max(len(val_ds) // cfg.batch_size, 1)))
+        else:
+            val_loader = BatchLoader(val_ds, cfg.batch_size, shuffle=False,
+                                     num_workers=args.workers, seed=0)
+            val_stream = device_prefetch(iter(val_loader), size=2,
+                                         placer=engine.place_batch)
         agg, n = {}, 0
-        for batch in device_prefetch(iter(val_loader), size=2,
-                                     placer=engine.place_batch):
+        for batch in val_stream:
             metrics = engine.eval_step(state, batch)
             for k, v in metrics.items():
                 agg[k] = agg.get(k, 0.0) + float(v)

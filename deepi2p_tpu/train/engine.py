@@ -135,11 +135,16 @@ class Engine:
         """K train steps in ONE dispatch (``lax.scan`` over a stacked
         (K, B, ...) batch pytree).
 
-        Identical training dynamics to K separate :meth:`train_step`
-        calls — same per-step rng splits, BN updates, Adam updates —
-        but the tunneled relay's fixed per-dispatch latency is paid once
-        per K steps instead of per step.  Returns the LAST trip's
-        metrics (matching what a per-step loop would log at the
+        Same semantics as K separate :meth:`train_step` calls — the same
+        per-step rng splits, BN updates, Adam updates, in the same order —
+        but NOT bitwise-identical: XLA fuses/reassociates differently
+        inside a scan body, and Adam's normalisation amplifies those
+        ulp-level gradient differences to O(lr) per step (advisor round 3).
+        The two paths are statistically equivalent training dynamics
+        (``test_train_step_scan_matches_loop`` checks the trajectory, not
+        bits).  The win: the tunneled relay's fixed per-dispatch latency
+        is paid once per K steps instead of per step.  Returns the LAST
+        trip's metrics (matching what a per-step loop would log at the
         boundary)."""
         K = jax.tree_util.tree_leaves(batches)[0].shape[0]
         keys = jax.random.split(rng, K)

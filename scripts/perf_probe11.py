@@ -28,12 +28,16 @@ for B in (8, 16, 32, 64):
     state = engine.init_state(jax.random.PRNGKey(0), batch)
     rng = jax.random.PRNGKey(1)
 
-    # warm-up/compile outside timing, then chain through the state
-    state, metrics = engine.train_step(state, batch, rng)
+    # AOT-compile so a dtype/weak_type flip inside the timed loop raises
+    # (a retrace) instead of silently timing minutes of recompilation
+    # (BENCH_NOTES methodology; advisor round 3)
+    step_c = jax.jit(engine._train_step_impl, donate_argnums=(0,)
+                     ).lower(state, batch, rng).compile()
+    state, metrics = step_c(state, batch, rng)
     jax.block_until_ready(metrics)
     t0 = time.perf_counter()
     for _ in range(REPS):
-        state, metrics = engine.train_step(state, batch, rng)
+        state, metrics = step_c(state, batch, rng)
     jax.block_until_ready(metrics)
     float(metrics["loss"])
     dt = (time.perf_counter() - t0) / REPS

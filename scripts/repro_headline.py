@@ -1,0 +1,206 @@
+"""Regenerate the headline e2e solver table from a committed checkpoint.
+
+VERDICT r3 item 4: the round-3 headline numbers were measured at a /tmp
+checkpoint that a VM rebuild destroyed.  This script is the fix: ONE
+command that takes the git-committed ``.npz`` snapshot
+(``ckpts/<run>/latest.npz``) and regenerates, with pinned seeds,
+
+  * the prediction dump (dataset seed 7, ``--pairs`` val pairs),
+  * the 5-row solver table (frustum-from-predictions seed-averaged over
+    ``--seeds`` solver seeds at the reference's 60-init budget, frustum
+    GT-label oracle, PnP, ICP, random baseline),
+
+and writes ``headline.json`` next to the checkpoint.  README table numbers
+must point at that artifact.
+
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python scripts/repro_headline.py
+    # or on the chip: python scripts/repro_headline.py
+
+ICP runs from GT-depth pseudo clouds by default (the depth-oracle role,
+``scripts/make_pseudo_from_dump.py``); pass ``--depth-checkpoint`` to run
+the full image->monodepth->ICP chain instead
+(reference: ``evaluation/icp/registration_icp.py``).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_dump(args, cfg):
+    import jax
+    import jax.numpy as jnp
+    from deepi2p_tpu.data import BatchLoader, SyntheticDataset
+    from deepi2p_tpu.train.engine import Engine
+    from deepi2p_tpu.train.checkpoint import warm_start_npz
+    from deepi2p_tpu.eval.dump import dump_predictions
+
+    ds = SyntheticDataset(cfg, length=args.pairs, seed=7)  # eval.cli's seed
+    engine = Engine(cfg)
+    loader = BatchLoader(ds, cfg.batch_size, shuffle=False, num_workers=2)
+    example = next(iter(loader))
+    state = engine.init_state(
+        jax.random.PRNGKey(0),
+        {k: jnp.asarray(v) for k, v in example.items()})
+    state = warm_start_npz(state, args.checkpoint, engine.tx)
+    step = int(state.step)
+    coarse_acc, fine_acc = dump_predictions(
+        engine, state, iter(loader), cfg, args.dump_dir, save_probs=True)
+    return step, coarse_acc, fine_acc
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", default="ckpts/street_r3/latest.npz")
+    ap.add_argument("--out-json", default=None,
+                    help="default: headline.json next to the checkpoint")
+    ap.add_argument("--dump-dir", default=None,
+                    help="default: a fresh <ckpt-dir>/headline_dump")
+    ap.add_argument("--pairs", type=int, default=48)
+    ap.add_argument("--seeds", type=int, default=5,
+                    help="solver seeds averaged for the prediction row "
+                         "(success at ~0.1 is init-luck-dominated; the "
+                         "round-3 budget sweep fixed seed-averaging as "
+                         "the honest headline)")
+    ap.add_argument("--n-inits", type=int, default=60,
+                    help="the reference's init budget "
+                         "(registration_lsq.py:337-343)")
+    ap.add_argument("--max-iter", type=int, default=64)
+    ap.add_argument("--depth-checkpoint", default="",
+                    help="optional monodepth ckpt: ICP row runs from "
+                         "ESTIMATED depth instead of the GT-depth oracle")
+    ap.add_argument("--skip-dump", action="store_true",
+                    help="reuse an existing --dump-dir (table only)")
+    # Run B (street_r3) training geometry — must match the checkpoint
+    ap.add_argument("--points", type=int, default=4096)
+    ap.add_argument("--nodes", type=int, default=64)
+    ap.add_argument("--img-h", type=int, default=96)
+    ap.add_argument("--img-w", type=int, default=160)
+    ap.add_argument("--preset", default="tiny",
+                    choices=["tiny", "kitti", "oxford", "nuscenes"])
+    args = ap.parse_args(argv)
+
+    from deepi2p_tpu import config as config_mod
+    from deepi2p_tpu.eval.harness import evaluate_registration
+
+    ckpt_dir = os.path.dirname(os.path.abspath(args.checkpoint))
+    args.dump_dir = args.dump_dir or os.path.join(ckpt_dir, "headline_dump")
+    out_json = args.out_json or os.path.join(ckpt_dir, "headline.json")
+
+    maker = {"tiny": config_mod.tiny, "kitti": config_mod.kitti,
+             "oxford": config_mod.oxford,
+             "nuscenes": config_mod.nuscenes}[args.preset]
+    cfg = maker(batch_size=8, input_pt_num=args.points,
+                node_a_num=args.nodes, node_b_num=args.nodes,
+                k_ab=min(maker().k_ab, args.nodes),
+                img_H=args.img_h, img_W=args.img_w,
+                synthetic_scene="street")
+
+    if args.skip_dump:
+        step, coarse_acc, fine_acc = -1, float("nan"), float("nan")
+    else:
+        step, coarse_acc, fine_acc = build_dump(args, cfg)
+        print(json.dumps({"dump": args.dump_dir, "step": step,
+                          "coarse_accuracy": coarse_acc,
+                          "fine_accuracy": fine_acc}), flush=True)
+
+    H, W = cfg.img_H, cfg.img_W
+    common = dict(H=H, W=W, n_inits=args.n_inits, max_iter=args.max_iter)
+    rows = {}
+
+    per_seed = []
+    for seed in range(args.seeds):
+        summ = evaluate_registration(args.dump_dir, method="frustum",
+                                     seed=seed, **common)
+        per_seed.append(summ)
+        print(f"frustum pred seed {seed}: {json.dumps(summ)}", flush=True)
+    rows["frustum_pred"] = {
+        k: float(np.mean([s[k] for s in per_seed])) for k in per_seed[0]}
+    rows["frustum_pred"]["per_seed_success"] = [
+        s["success_rate"] for s in per_seed]
+
+    rows["frustum_oracle"] = evaluate_registration(
+        args.dump_dir, method="frustum", use_labels=True, seed=0, **common)
+    print(f"frustum oracle: {json.dumps(rows['frustum_oracle'])}", flush=True)
+
+    rows["pnp_pred"] = evaluate_registration(
+        args.dump_dir, method="pnp", seed=0, **common)
+    print(f"pnp pred: {json.dumps(rows['pnp_pred'])}", flush=True)
+
+    pseudo_dir = os.path.join(args.dump_dir, "_pseudo")
+    if args.depth_checkpoint:
+        from deepi2p_tpu.train.depth_cli import load_depth_fn
+        from deepi2p_tpu.eval.depth import dump_pseudo_pointclouds
+        from deepi2p_tpu.eval.dump import list_dump_prefixes
+        depth_fn = load_depth_fn(args.depth_checkpoint, cfg)
+        for prefix in list_dump_prefixes(args.dump_dir):
+            img_path = os.path.join(args.dump_dir, prefix + "_img.npy")
+            if not os.path.isfile(img_path):
+                continue
+            K = np.load(os.path.join(args.dump_dir, prefix + "_K.npy"))
+            dump_pseudo_pointclouds([(prefix, np.load(img_path))], K,
+                                    depth_fn, pseudo_dir)
+        icp_depth = "estimated"
+    else:
+        from deepi2p_tpu.eval.dump import load_dump, list_dump_prefixes
+        os.makedirs(pseudo_dir, exist_ok=True)
+        rng = np.random.default_rng(0)
+        for prefix in list_dump_prefixes(args.dump_dir):
+            d = load_dump(args.dump_dir, prefix)
+            cam = d["pc"] @ d["P"][:3, :3].T + d["P"][:3, 3]
+            pts = cam[d["coarse_label"] > 0]
+            if len(pts) > 4096:
+                pts = pts[rng.choice(len(pts), 4096, replace=False)]
+            np.save(os.path.join(pseudo_dir, f"{prefix}_pc.npy"),
+                    pts.T.astype(np.float32))
+        icp_depth = "gt_oracle"
+    rows["icp"] = evaluate_registration(args.dump_dir, method="icp",
+                                        pseudo_dir=pseudo_dir, seed=0,
+                                        n_inits=min(args.n_inits, 40),
+                                        max_iter=30, H=H, W=W)
+    rows["icp"]["depth"] = icp_depth
+    print(f"icp ({icp_depth}): {json.dumps(rows['icp'])}", flush=True)
+
+    # the basin-widened variant (VERDICT r3 #5): multi-scale threshold
+    # anneal + half the inits seeded from the frustum solution on the
+    # same predictions — the refinement composition the reference never
+    # attempts (its ICP draws blind +-2pi yaw inits,
+    # registration_icp.py:115-139)
+    rows["icp_seeded"] = evaluate_registration(
+        args.dump_dir, method="icp", pseudo_dir=pseudo_dir, seed=0,
+        n_inits=min(args.n_inits, 40), max_iter=30, H=H, W=W,
+        icp_coarse_threshold=8.0, icp_seed="frustum")
+    rows["icp_seeded"]["depth"] = icp_depth
+    print(f"icp seeded ({icp_depth}): {json.dumps(rows['icp_seeded'])}",
+          flush=True)
+
+    rows["random"] = evaluate_registration(args.dump_dir, method="random",
+                                           seed=0, **common)
+    print(f"random: {json.dumps(rows['random'])}", flush=True)
+
+    result = {
+        "checkpoint": args.checkpoint,
+        "step": step,
+        "pairs": args.pairs,
+        "dump_coarse_accuracy": coarse_acc,
+        "dump_fine_accuracy": fine_acc,
+        "budget": {"n_inits": args.n_inits, "max_iter": args.max_iter,
+                   "seeds": args.seeds},
+        "config": {"points": args.points, "nodes": args.nodes,
+                   "img": [args.img_h, args.img_w], "preset": args.preset},
+        "rows": rows,
+    }
+    with open(out_json, "w") as f:
+        json.dump(result, f, indent=2)
+    print(f"wrote {out_json}", flush=True)
+    return result
+
+
+if __name__ == "__main__":
+    main()

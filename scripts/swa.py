@@ -111,8 +111,13 @@ def main():
     dst = CheckpointManager(args.out, max_to_keep=1)
     dst.save(state)
     dst.close()
+    # compact committed artifact: the headline table regenerates from this
+    # (scripts/repro_headline.py --checkpoint <out>/latest.npz)
+    from deepi2p_tpu.train.checkpoint import export_npz
+    import os
+    export_npz(state, os.path.join(args.out, "latest.npz"))
     print(f"saved SWA({len(steps)}) checkpoint at step {int(state.step)} "
-          f"to {args.out}")
+          f"to {args.out} (+ latest.npz)")
 
 
 if __name__ == "__main__":

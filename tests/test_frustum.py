@@ -211,6 +211,52 @@ def test_bench_config_quality_gate(rng):
     assert ok >= 5, f"success {ok}/{B} below gate at bench config"
 
 
+def test_bench_config_quality_gate_real_structure(rng):
+    """Re-pinned gate (VERDICT r3 #6): replay the MEASURED error
+    structure of a real prediction dump — border-band + off-band rates
+    from ``tests/fixtures/error_structure.json``
+    (``scripts/characterize_errors.py``) — through the border-band noise
+    model at the bench solver config.  Unlike the 10%-iid gate above,
+    this pins the bench knobs against the spatially-coherent error
+    geometry the trained classifier actually produces."""
+    import json, os
+    fix_path = os.path.join(os.path.dirname(__file__), "fixtures",
+                            "error_structure.json")
+    if not os.path.isfile(fix_path):
+        pytest.skip("error-structure fixture not yet generated "
+                    "(scripts/characterize_errors.py on a real dump)")
+    with open(fix_path) as f:
+        fix = json.load(f)
+    from deepi2p_tpu.register.noise import flip_border_band, flip_iid
+    B = 6
+    pcs, labs, Ps = [], [], []
+    for b in range(B):
+        yaw = rng.uniform(-np.pi, np.pi)
+        t = np.array([rng.uniform(-2, 2), 0.0, rng.uniform(-2, 2)],
+                     np.float32)
+        pc, labels, P = _make_problem(rng, yaw, t, n=4096)
+        # the dump was measured at its training geometry; the band model
+        # transfers by pixel distance, so reuse this file's H/W camera
+        labels = flip_border_band(rng, labels, pc, P, K_np, H, W,
+                                  band_px=fix["band_px"],
+                                  rate=fix["band_error_rate"])
+        labels = flip_iid(rng, labels, fix["offband_error_rate"])
+        pcs.append(pc); labs.append(labels); Ps.append(P)
+    P_pred, cost = solve_frustum_batch(
+        jnp.asarray(np.stack(pcs)),
+        jnp.asarray(np.stack(labs).astype(np.float32)),
+        jnp.asarray(np.tile(K_np, (B, 1, 1))), H=H, W=W,
+        rng=jax.random.PRNGKey(0), n_inits=64, max_iter=24,
+        solver_stride=2)
+    ok = 0
+    for b in range(B):
+        rte, rre = pose_diff_np(np.asarray(P_pred[b], np.float64),
+                                np.asarray(Ps[b], np.float64))
+        ok += (rte < 2.0 and rre < 5.0)
+    assert ok >= fix.get("gate_min_success", 4), \
+        f"success {ok}/{B} below gate at measured error structure"
+
+
 def test_solver_3d_mode(rng):
     """6-parameter (angle-axis + t) mode, parity with registration_3d.hpp.
 

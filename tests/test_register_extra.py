@@ -197,6 +197,57 @@ def test_icp_batch_padded_targets(rng):
         assert float(res.fitness[b]) > 0.5
 
 
+def test_icp_multiscale_widens_basin(rng):
+    """The multi-scale threshold anneal (coarse_threshold) must recover a
+    pose whose initial displacement is far outside the fixed-1m-threshold
+    correspondence basin — the basin-widening lever the reference's ICP
+    lacks (it is why ICP was its weakest baseline,
+    ``registration_icp.py:148-162``)."""
+    src = rng.uniform(-10, 10, (256, 3)).astype(np.float32)
+    ry, t = 0.1, np.array([3.5, 0.0, 0.0], np.float32)  # 3.5 m off
+    c, s = np.cos(ry), np.sin(ry)
+    R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    tgt = src @ R.T + t
+    P0 = jnp.eye(4)
+    fixed = icp_point_to_point(jnp.asarray(src), jnp.asarray(tgt), P0,
+                               threshold=1.0, max_iter=40)
+    multi = icp_point_to_point(jnp.asarray(src), jnp.asarray(tgt), P0,
+                               threshold=1.0, max_iter=40,
+                               coarse_threshold=8.0)
+    rte_m, rre_m = pose_diff_np(np.asarray(multi.P),
+                                np.asarray(jnp.eye(4).at[:3, :3].set(R)
+                                           .at[:3, 3].set(t)))
+    assert rte_m < 0.3 and rre_m < 2.0, (rte_m, rre_m)
+    assert float(multi.fitness) > float(fixed.fitness) + 0.2
+
+
+def test_icp_batch_seeded_inits(rng):
+    """P_seed: a seed near the true pose must let icp_batch solve a
+    problem whose blind ±2π init draws miss the basin (tiny init budget
+    so blind luck cannot solve it)."""
+    from deepi2p_tpu.register.icp import icp_batch
+    N = 192
+    src = rng.uniform(-10, 10, (N, 3)).astype(np.float32)
+    ry, t = 2.4, np.array([4.0, 0.0, -6.0], np.float32)  # far from identity
+    c, s = np.cos(ry), np.sin(ry)
+    R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    tgt = (src @ R.T + t)[None]
+    P_want = np.eye(4, dtype=np.float32)
+    P_want[:3, :3] = R
+    P_want[:3, 3] = t
+    seed_P = P_want.copy()
+    seed_P[:3, 3] += [0.5, 0.0, -0.4]          # imperfect seed
+    blind = icp_batch(jnp.asarray(src[None]), jnp.asarray(tgt),
+                      jax.random.PRNGKey(3), n_inits=8, max_iter=25)
+    seeded = icp_batch(jnp.asarray(src[None]), jnp.asarray(tgt),
+                       jax.random.PRNGKey(3), n_inits=8, max_iter=25,
+                       P_seed=jnp.asarray(seed_P[None]))
+    rte_b, _ = pose_diff_np(np.asarray(blind.P[0]), P_want)
+    rte_s, rre_s = pose_diff_np(np.asarray(seeded.P[0]), P_want)
+    assert rte_s < 0.5 and rre_s < 5.0, (rte_s, rre_s)
+    assert rte_s < rte_b
+
+
 def test_icp_harness_end_to_end(tmp_path, rng):
     """evaluate_registration(method='icp') over a dump + pseudo clouds of
     varying sizes: batched path, scale calibration, RTE/RRE summary."""

@@ -119,9 +119,15 @@ def test_train_step_decreases_loss():
 
 
 def test_train_step_scan_matches_loop():
-    """K steps in one lax.scan dispatch == K sequential train steps
-    (same per-trip keys), so --steps-per-dispatch cannot change training
-    dynamics — only how often the relay round-trip is paid."""
+    """K steps in one lax.scan dispatch follow the same trajectory as K
+    sequential train steps (same per-trip keys / batch order / Adam and BN
+    sequencing).  NOT a bitwise claim: XLA fuses the scan body differently
+    and Adam normalisation amplifies ulp-level gradient differences to
+    O(lr) per step (advisor round 3: at K=1 the loss is bit-identical but
+    params already differ by ~1e-3 after the Adam update).  So this checks
+    statistical equivalence — loss trajectory within a fraction of a
+    percent, params within a few Adam steps' noise — which is the contract
+    --steps-per-dispatch actually provides."""
     cfg = config.tiny()
     eng = Engine(cfg, steps_per_epoch=100)
     K = 3
@@ -141,13 +147,28 @@ def test_train_step_scan_matches_loop():
         s_loop, m_loop = eng.train_step(s_loop, b, keys[i])
 
     assert int(s_scan.step) == K == int(s_loop.step)
+    # last-trip loss is computed BEFORE the K-th Adam update, so it has
+    # absorbed K-1 update divergences of O(lr)=1e-3 each; a 2% band is
+    # ~10x the observed drift and far below any real dynamics change
+    # (a dropped batch or rng mismatch moves the loss by >>10%)
     assert np.isclose(float(m_scan["loss"]), float(m_loop["loss"]),
-                      rtol=1e-5)
+                      rtol=2e-2)
+    # params: each Adam step moves every weight by ~lr; K steps of
+    # divergent rounding can displace a weight by a few lr at most
     flat_a = jax.tree_util.tree_leaves(s_scan.params)
     flat_b = jax.tree_util.tree_leaves(s_loop.params)
+    lr = cfg.lr
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=2e-6)
+                                   rtol=0.05, atol=4 * K * lr)
+
+    # the rng IS threaded per trip: a different key must give a
+    # different trajectory (guards against a key-reuse regression that
+    # the loose bands above could mask)
+    s_scan2, m_scan2 = eng.train_step_scan(
+        eng.init_state(jax.random.PRNGKey(0), batches[0]), stacked,
+        jax.random.PRNGKey(7))
+    assert float(m_scan2["loss"]) != float(m_scan["loss"])
 
 
 def test_labels_inside_fraction_sane():
