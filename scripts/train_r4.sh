@@ -20,6 +20,7 @@ for i in $(seq 1 40); do
     --steps-per-dispatch 8 --ckpt-every 1000 --device-data \
     --checkpoints-dir /root/repo/ckpts/street_r3 \
     --log-dir /root/repo/ckpts/street_r3/runs \
+    --warm-start /root/repo/ckpts/street_r3/latest.npz \
     --resume >> /tmp/street_train4.log 2>&1
   rc=$?
   echo "=== attempt $i exit=$rc $(date -u +%H:%M:%SZ)" >> /tmp/street_train4.log
