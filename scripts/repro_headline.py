@@ -33,7 +33,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_dump(args, cfg):
+def build_dump(args, cfg, checkpoint, dump_dir, _cache={}):
     import jax
     import jax.numpy as jnp
     from deepi2p_tpu.data import BatchLoader, SyntheticDataset
@@ -42,22 +42,34 @@ def build_dump(args, cfg):
     from deepi2p_tpu.eval.dump import dump_predictions
 
     ds = SyntheticDataset(cfg, length=args.pairs, seed=7)  # eval.cli's seed
-    engine = Engine(cfg)
     loader = BatchLoader(ds, cfg.batch_size, shuffle=False, num_workers=2)
-    example = next(iter(loader))
-    state = engine.init_state(
-        jax.random.PRNGKey(0),
-        {k: jnp.asarray(v) for k, v in example.items()})
-    state = warm_start_npz(state, args.checkpoint, engine.tx)
+    # one Engine (and thus one compiled forward) shared across the
+    # checkpoints of a multi-checkpoint invocation — per-instance jit
+    # caches would otherwise recompile the full model per checkpoint
+    # (minutes each over the TPU relay)
+    if "engine" not in _cache:
+        example = next(iter(loader))
+        _cache["engine"] = Engine(cfg)
+        _cache["template"] = _cache["engine"].init_state(
+            jax.random.PRNGKey(0),
+            {k: jnp.asarray(v) for k, v in example.items()})
+    engine = _cache["engine"]
+    state = warm_start_npz(_cache["template"], checkpoint, engine.tx)
     step = int(state.step)
     coarse_acc, fine_acc = dump_predictions(
-        engine, state, iter(loader), cfg, args.dump_dir, save_probs=True)
+        engine, state, iter(loader), cfg, dump_dir, save_probs=True)
     return step, coarse_acc, fine_acc
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", default="ckpts/street_r3/latest.npz")
+    ap.add_argument("--also", nargs="*", default=[],
+                    help="additional checkpoints evaluated in the SAME "
+                         "process (e.g. the SWA sibling): the compiled "
+                         "forward/solver programs are reused, so each "
+                         "extra table costs seconds, not a relay "
+                         "recompile; artifacts land next to each ckpt")
     ap.add_argument("--out-json", default=None,
                     help="default: headline.json next to the checkpoint")
     ap.add_argument("--dump-dir", default=None,
@@ -87,11 +99,6 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from deepi2p_tpu import config as config_mod
-    from deepi2p_tpu.eval.harness import evaluate_registration
-
-    ckpt_dir = os.path.dirname(os.path.abspath(args.checkpoint))
-    args.dump_dir = args.dump_dir or os.path.join(ckpt_dir, "headline_dump")
-    out_json = args.out_json or os.path.join(ckpt_dir, "headline.json")
 
     maker = {"tiny": config_mod.tiny, "kitti": config_mod.kitti,
              "oxford": config_mod.oxford,
@@ -102,11 +109,26 @@ def main(argv=None):
                 img_H=args.img_h, img_W=args.img_w,
                 synthetic_scene="street")
 
+    results = [run_one(args, cfg, args.checkpoint,
+                       dump_dir=args.dump_dir, out_json=args.out_json)]
+    for extra in args.also:
+        results.append(run_one(args, cfg, extra))
+    return results if args.also else results[0]
+
+
+def run_one(args, cfg, checkpoint, dump_dir=None, out_json=None):
+    from deepi2p_tpu.eval.harness import evaluate_registration
+
+    ckpt_dir = os.path.dirname(os.path.abspath(checkpoint))
+    dump_dir = dump_dir or os.path.join(ckpt_dir, "headline_dump")
+    out_json = out_json or os.path.join(ckpt_dir, "headline.json")
+
     if args.skip_dump:
         step, coarse_acc, fine_acc = -1, float("nan"), float("nan")
     else:
-        step, coarse_acc, fine_acc = build_dump(args, cfg)
-        print(json.dumps({"dump": args.dump_dir, "step": step,
+        step, coarse_acc, fine_acc = build_dump(args, cfg, checkpoint,
+                                                dump_dir)
+        print(json.dumps({"dump": dump_dir, "step": step,
                           "coarse_accuracy": coarse_acc,
                           "fine_accuracy": fine_acc}), flush=True)
 
@@ -116,7 +138,7 @@ def main(argv=None):
 
     per_seed = []
     for seed in range(args.seeds):
-        summ = evaluate_registration(args.dump_dir, method="frustum",
+        summ = evaluate_registration(dump_dir, method="frustum",
                                      seed=seed, **common)
         per_seed.append(summ)
         print(f"frustum pred seed {seed}: {json.dumps(summ)}", flush=True)
@@ -126,24 +148,24 @@ def main(argv=None):
         s["success_rate"] for s in per_seed]
 
     rows["frustum_oracle"] = evaluate_registration(
-        args.dump_dir, method="frustum", use_labels=True, seed=0, **common)
+        dump_dir, method="frustum", use_labels=True, seed=0, **common)
     print(f"frustum oracle: {json.dumps(rows['frustum_oracle'])}", flush=True)
 
     rows["pnp_pred"] = evaluate_registration(
-        args.dump_dir, method="pnp", seed=0, **common)
+        dump_dir, method="pnp", seed=0, **common)
     print(f"pnp pred: {json.dumps(rows['pnp_pred'])}", flush=True)
 
-    pseudo_dir = os.path.join(args.dump_dir, "_pseudo")
+    pseudo_dir = os.path.join(dump_dir, "_pseudo")
     if args.depth_checkpoint:
         from deepi2p_tpu.train.depth_cli import load_depth_fn
         from deepi2p_tpu.eval.depth import dump_pseudo_pointclouds
         from deepi2p_tpu.eval.dump import list_dump_prefixes
         depth_fn = load_depth_fn(args.depth_checkpoint, cfg)
-        for prefix in list_dump_prefixes(args.dump_dir):
-            img_path = os.path.join(args.dump_dir, prefix + "_img.npy")
+        for prefix in list_dump_prefixes(dump_dir):
+            img_path = os.path.join(dump_dir, prefix + "_img.npy")
             if not os.path.isfile(img_path):
                 continue
-            K = np.load(os.path.join(args.dump_dir, prefix + "_K.npy"))
+            K = np.load(os.path.join(dump_dir, prefix + "_K.npy"))
             dump_pseudo_pointclouds([(prefix, np.load(img_path))], K,
                                     depth_fn, pseudo_dir)
         icp_depth = "estimated"
@@ -151,8 +173,8 @@ def main(argv=None):
         from deepi2p_tpu.eval.dump import load_dump, list_dump_prefixes
         os.makedirs(pseudo_dir, exist_ok=True)
         rng = np.random.default_rng(0)
-        for prefix in list_dump_prefixes(args.dump_dir):
-            d = load_dump(args.dump_dir, prefix)
+        for prefix in list_dump_prefixes(dump_dir):
+            d = load_dump(dump_dir, prefix)
             cam = d["pc"] @ d["P"][:3, :3].T + d["P"][:3, 3]
             pts = cam[d["coarse_label"] > 0]
             if len(pts) > 4096:
@@ -160,7 +182,7 @@ def main(argv=None):
             np.save(os.path.join(pseudo_dir, f"{prefix}_pc.npy"),
                     pts.T.astype(np.float32))
         icp_depth = "gt_oracle"
-    rows["icp"] = evaluate_registration(args.dump_dir, method="icp",
+    rows["icp"] = evaluate_registration(dump_dir, method="icp",
                                         pseudo_dir=pseudo_dir, seed=0,
                                         n_inits=min(args.n_inits, 40),
                                         max_iter=30, H=H, W=W)
@@ -173,19 +195,19 @@ def main(argv=None):
     # attempts (its ICP draws blind +-2pi yaw inits,
     # registration_icp.py:115-139)
     rows["icp_seeded"] = evaluate_registration(
-        args.dump_dir, method="icp", pseudo_dir=pseudo_dir, seed=0,
+        dump_dir, method="icp", pseudo_dir=pseudo_dir, seed=0,
         n_inits=min(args.n_inits, 40), max_iter=30, H=H, W=W,
         icp_coarse_threshold=8.0, icp_seed="frustum")
     rows["icp_seeded"]["depth"] = icp_depth
     print(f"icp seeded ({icp_depth}): {json.dumps(rows['icp_seeded'])}",
           flush=True)
 
-    rows["random"] = evaluate_registration(args.dump_dir, method="random",
+    rows["random"] = evaluate_registration(dump_dir, method="random",
                                            seed=0, **common)
     print(f"random: {json.dumps(rows['random'])}", flush=True)
 
     result = {
-        "checkpoint": args.checkpoint,
+        "checkpoint": checkpoint,
         "step": step,
         "pairs": args.pairs,
         "dump_coarse_accuracy": coarse_acc,
