@@ -33,6 +33,12 @@ def main():
     p.add_argument("--out", required=True)
     p.add_argument("--steps", default=None,
                    help="comma-separated steps (default: every retained)")
+    p.add_argument("--last", type=int, default=0,
+                   help="average only the LAST N retained steps (the SWA "
+                        "tail); 0 = all.  keep_period retention also "
+                        "keeps old epoch-boundary checkpoints, which "
+                        "must not dilute the tail average across lr "
+                        "regimes")
     p.add_argument("--points", type=int, default=4096)
     p.add_argument("--nodes", type=int, default=64)
     p.add_argument("--img-h", type=int, default=96)
@@ -70,6 +76,8 @@ def main():
         steps = [int(s) for s in args.steps.split(",")]
     else:
         steps = sorted(src._mgr.all_steps())
+        if args.last:
+            steps = steps[-args.last:]
     print(f"averaging steps: {steps}")
 
     acc = None
