@@ -77,11 +77,19 @@ def export_npz(state: TrainState, path: str):
     os.replace(tmp, path)
 
 
-def warm_start_npz(template: TrainState, path: str, tx) -> TrainState:
+def warm_start_npz(template: TrainState, path: str, tx,
+                   partial: bool = False) -> TrainState:
     """Rebuild a TrainState from :func:`export_npz` output.
 
     ``template`` supplies the tree structure (from ``Engine.init_state``);
     ``tx`` (the engine's optax transform) initialises fresh Adam moments.
+
+    ``partial=True`` transfers every leaf whose shape matches and keeps
+    the template's fresh init for the rest (missing keys or shape
+    mismatches) — cross-geometry transfer, e.g. street 96x160 weights
+    into the KITTI-shaped 160x512 model, where only the fine head's
+    class count (H/32*W/32 cells) differs.  The step counter resets to 0
+    in partial mode: the new run's lr schedule must start fresh.
     """
     import numpy as np
     import jax
@@ -89,20 +97,36 @@ def warm_start_npz(template: TrainState, path: str, tx) -> TrainState:
     with np.load(path) as z:
         arrays = {k: z[k] for k in z.files}
 
+    skipped = []
+
     def rebuild(name, tree):
         flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
         leaves = []
         for keypath, leaf in flat:
             key = name + jax.tree_util.keystr(keypath)
-            arr = arrays[key]
-            if arr.shape != leaf.shape:
-                raise ValueError(f"{key}: snapshot {arr.shape} != "
-                                 f"template {leaf.shape}")
+            arr = arrays.get(key)
+            if arr is None or arr.shape != leaf.shape:
+                if not partial:
+                    raise ValueError(
+                        f"{key}: snapshot "
+                        f"{'missing' if arr is None else arr.shape} != "
+                        f"template {leaf.shape}")
+                skipped.append((key, None if arr is None else arr.shape,
+                                leaf.shape))
+                leaves.append(leaf)
+                continue
             leaves.append(arr.astype(leaf.dtype))
         return jax.tree_util.tree_unflatten(treedef, leaves)
 
     params = rebuild("params", template.params)
     batch_stats = rebuild("batch_stats", template.batch_stats)
-    return template.replace(step=arrays["__step__"].astype("int32"),
-                            params=params, batch_stats=batch_stats,
+    if skipped:
+        print(f"warm_start_npz: kept template init for {len(skipped)} "
+              "shape-mismatched/missing leaves:")
+        for key, got, want in skipped:
+            print(f"  {key}: snapshot {got} != template {want}")
+    step = (np.zeros((), "int32") if partial
+            else arrays["__step__"].astype("int32"))
+    return template.replace(step=step, params=params,
+                            batch_stats=batch_stats,
                             opt_state=tx.init(params))

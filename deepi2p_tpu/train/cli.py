@@ -134,6 +134,12 @@ def main(argv=None):
                         "warm-start from when no orbax checkpoint exists "
                         "(fresh Adam moments); used to carry runs across "
                         "VM rebuilds where only the git repo survives")
+    p.add_argument("--warm-start-partial", action="store_true",
+                   help="transfer only shape-matching leaves from "
+                        "--warm-start and keep fresh init for the rest "
+                        "(cross-geometry transfer, e.g. a 96x160-trained "
+                        "trunk into the 160x512 model whose fine head "
+                        "differs); resets step/lr schedule to 0")
     args = p.parse_args(argv)
 
     if args.dataset == "synthetic":
@@ -225,7 +231,8 @@ def main(argv=None):
 
     if args.warm_start and not (args.resume and ckpt.latest_step() is not None):
         from .checkpoint import warm_start_npz
-        state = warm_start_npz(state, args.warm_start, engine.tx)
+        state = warm_start_npz(state, args.warm_start, engine.tx,
+                               partial=args.warm_start_partial)
         # re-place with the mesh layout init_state established (bare
         # device_put would silently drop the TP sharding of wide kernels)
         state = shard_state(engine.mesh, state)

@@ -24,6 +24,8 @@ for i in $(seq 1 20); do
     --steps-per-dispatch 8 --ckpt-every 1000 --device-data \
     --checkpoints-dir /root/repo/ckpts/kitti_shape_r4 \
     --log-dir /root/repo/ckpts/kitti_shape_r4/runs \
+    --warm-start /root/repo/ckpts/street_r3/latest.npz \
+    --warm-start-partial \
     --resume >> /tmp/kitti_shape.log 2>&1
   rc=$?
   echo "=== attempt $i exit=$rc $(date -u +%H:%M:%SZ)" >> /tmp/kitti_shape.log

@@ -215,3 +215,49 @@ def test_profiling_utils(tmp_path):
             y = x @ x
         jax.block_until_ready(y)
     assert t.mean("op", skip_first=0) > 0
+
+
+def test_warm_start_partial_cross_geometry(tmp_path):
+    """Partial warm-start transfers every shape-matching leaf across a
+    geometry change (fine-grid class count follows img_W/32) and keeps
+    fresh init + step=0 for the rest — the street->kitti-shape transfer
+    path (train.cli --warm-start-partial)."""
+    from deepi2p_tpu.train.checkpoint import export_npz, warm_start_npz
+
+    cfg_a = config.tiny()                     # 64x96  -> fine 2x3 = 6
+    cfg_b = config.tiny(img_W=128)            # 64x128 -> fine 2x4 = 8
+    eng_a = Engine(cfg_a, steps_per_epoch=10)
+    eng_b = Engine(cfg_b, steps_per_epoch=10)
+    batch_a = {k: jnp.asarray(v)
+               for k, v in synthetic_batch(cfg_a, seed=0).items()}
+    batch_b = {k: jnp.asarray(v)
+               for k, v in synthetic_batch(cfg_b, seed=0).items()}
+    state_a = eng_a.init_state(jax.random.PRNGKey(0), batch_a)
+    state_a = state_a.replace(step=jnp.asarray(777, jnp.int32))
+    path = str(tmp_path / "a.npz")
+    export_npz(state_a, path)
+
+    template = eng_b.init_state(jax.random.PRNGKey(1), batch_b)
+
+    # strict mode must refuse the cross-geometry load
+    with np.testing.assert_raises(ValueError):
+        warm_start_npz(template, path, eng_b.tx)
+
+    state_b = warm_start_npz(template, path, eng_b.tx, partial=True)
+    assert int(state_b.step) == 0             # schedule restarts
+
+    flat_a = dict(jax.tree_util.tree_flatten_with_path(state_a.params)[0])
+    flat_t = dict(jax.tree_util.tree_flatten_with_path(template.params)[0])
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(state_b.params)[0])
+    n_match = n_skip = 0
+    for key, leaf_b in flat_b.items():
+        a, t = np.asarray(flat_a[key]), np.asarray(flat_t[key])
+        b = np.asarray(leaf_b)
+        if a.shape == b.shape:
+            np.testing.assert_array_equal(b, a.astype(b.dtype))
+            n_match += 1
+        else:
+            np.testing.assert_array_equal(b, t)
+            n_skip += 1
+    assert n_skip > 0, "geometry change should mismatch the fine head"
+    assert n_match > 10 * n_skip, "trunk should dominate the transfer"
