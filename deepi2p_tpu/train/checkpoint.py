@@ -78,7 +78,8 @@ def export_npz(state: TrainState, path: str):
 
 
 def warm_start_npz(template: TrainState, path: str, tx,
-                   partial: bool = False) -> TrainState:
+                   partial: bool = False,
+                   min_transfer_frac: float = 0.8) -> TrainState:
     """Rebuild a TrainState from :func:`export_npz` output.
 
     ``template`` supplies the tree structure (from ``Engine.init_state``);
@@ -90,6 +91,12 @@ def warm_start_npz(template: TrainState, path: str, tx,
     into the KITTI-shaped 160x512 model, where only the fine head's
     class count (H/32*W/32 cells) differs.  The step counter resets to 0
     in partial mode: the new run's lr schedule must start fresh.
+
+    ``min_transfer_frac`` guards partial mode against silent cold starts:
+    if key naming or geometry drifts so that less than this fraction of
+    leaves transfers, raise instead of quietly returning a near-fresh
+    init (a chip-window-scale run warm-started from nothing).  Pass 0.0
+    to explicitly allow any transfer fraction.
     """
     import numpy as np
     import jax
@@ -120,11 +127,23 @@ def warm_start_npz(template: TrainState, path: str, tx,
 
     params = rebuild("params", template.params)
     batch_stats = rebuild("batch_stats", template.batch_stats)
+    n_total = (len(jax.tree_util.tree_leaves(template.params))
+               + len(jax.tree_util.tree_leaves(template.batch_stats)))
+    n_transferred = n_total - len(skipped)
     if skipped:
         print(f"warm_start_npz: kept template init for {len(skipped)} "
               "shape-mismatched/missing leaves:")
         for key, got, want in skipped:
             print(f"  {key}: snapshot {got} != template {want}")
+    print(f"warm_start_npz: transferred {n_transferred}/{n_total} leaves "
+          f"from {path}")
+    if partial and n_total and n_transferred / n_total < min_transfer_frac:
+        raise ValueError(
+            f"warm_start_npz(partial=True): only {n_transferred}/{n_total} "
+            f"leaves matched ({n_transferred / n_total:.0%} < "
+            f"{min_transfer_frac:.0%}) — key naming or geometry has "
+            "drifted and this would be a near-cold start. Pass "
+            "min_transfer_frac=0.0 to override.")
     step = (np.zeros((), "int32") if partial
             else arrays["__step__"].astype("int32"))
     return template.replace(step=step, params=params,

@@ -141,6 +141,8 @@ def main(argv=None):
                         "trunk into the 160x512 model whose fine head "
                         "differs); resets step/lr schedule to 0")
     args = p.parse_args(argv)
+    if args.warm_start_partial and not args.warm_start:
+        p.error("--warm-start-partial requires --warm-start")
 
     if args.dataset == "synthetic":
         if args.synthetic_preset == "tiny":
@@ -229,6 +231,10 @@ def main(argv=None):
               + ")")
         return state, epoch
 
+    if args.warm_start and args.resume and ckpt.latest_step() is not None:
+        print(f"warm-start SKIPPED: --resume found orbax checkpoint at step "
+              f"{ckpt.latest_step()} in {cfg.checkpoints_dir}, which wins "
+              f"over --warm-start {args.warm_start}")
     if args.warm_start and not (args.resume and ckpt.latest_step() is not None):
         from .checkpoint import warm_start_npz
         state = warm_start_npz(state, args.warm_start, engine.tx,

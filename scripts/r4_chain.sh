@@ -60,10 +60,14 @@ PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
 say "dryrun rc=$? $(tail -1 /tmp/r4_dryrun.log)"
 
 say "step 7: launch kitti-shape training"
+LAUNCHER=scripts/train_kitti_shape.sh
 if [ "$WS_RC" -ne 0 ]; then
-  say "warm-start check FAILED — stripping warm-start from kitti launch"
-  sed -i '/--warm-start/d' scripts/train_kitti_shape.sh
+  # never mutate the git-tracked launcher in place (ADVICE r4): edit a
+  # /tmp copy, and only drop the exact warm-start FLAG lines
+  say "warm-start check FAILED — launching a /tmp copy without warm-start"
+  LAUNCHER=/tmp/train_kitti_shape_nows.sh
+  sed '/^\s*--warm-start/d' scripts/train_kitti_shape.sh > "$LAUNCHER"
 fi
-nohup bash scripts/train_kitti_shape.sh > /tmp/kitti_loop.out 2>&1 &
+nohup bash "$LAUNCHER" > /tmp/kitti_loop.out 2>&1 &
 say "kitti loop pid $!"
 say "R4_CHAIN_DONE"

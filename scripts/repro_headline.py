@@ -46,9 +46,12 @@ def build_dump(args, cfg, checkpoint, dump_dir, _cache={}):
     # one Engine (and thus one compiled forward) shared across the
     # checkpoints of a multi-checkpoint invocation — per-instance jit
     # caches would otherwise recompile the full model per checkpoint
-    # (minutes each over the TPU relay)
-    if "engine" not in _cache:
+    # (minutes each over the TPU relay).  Keyed on the full config so a
+    # second main() in the same process with a different cfg (tests,
+    # notebooks) cannot silently reuse the wrong engine.
+    if _cache.get("cfg") != cfg:
         example = next(iter(loader))
+        _cache["cfg"] = cfg
         _cache["engine"] = Engine(cfg)
         _cache["template"] = _cache["engine"].init_state(
             jax.random.PRNGKey(0),

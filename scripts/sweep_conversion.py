@@ -1,0 +1,194 @@
+"""Close the conversion gap on the committed e60 dump (VERDICT r4 #2).
+
+The e60 street checkpoint dumps at coarse accuracy 0.951, yet the frustum
+row converts to only 0.171 success — while the round-3 cleanup ladder
+predicted 0.3–0.6 at that accuracy.  This script answers, without any
+retraining, two questions on the COMMITTED dump
+(``ckpts/street_r3/headline_dump``, written with ``--save-probs``):
+
+1. What is the best achievable success from the e60 predictions?  Sweep
+   the host-side decision threshold (``inside_threshold`` on the dumped
+   ``p_inside``) × the frustum cost's ``outside_weight``
+   (recall-vs-precision trade in the solver itself) — the two levers the
+   reference never exposes (its operating point is fixed argmax,
+   ``evaluation/registration_lsq.py:291-298``).
+2. WHY does 0.951 accuracy convert so poorly?  Per-pair anatomy at the
+   argmax point: which failures are RRE-limited vs RTE-limited, and how
+   success correlates with per-pair accuracy / recall.
+
+Outputs ``ckpts/street_r3/conversion_sweep.json`` with
+  * ``operating_points``: host-only precision/recall/accuracy per threshold
+  * ``sweep``: success over (threshold × outside_weight), seed-averaged
+  * ``best``: the winning combo re-measured at 5 seeds
+  * ``anatomy``: per-pair argmax failure classification
+
+Run on the chip (fast) or CPU (slow):
+    python scripts/sweep_conversion.py
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python scripts/sweep_conversion.py --seeds 1
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def host_operating_points(dump_dir, thresholds):
+    """Pure-numpy: accuracy/precision/recall per decision threshold."""
+    from deepi2p_tpu.eval.dump import load_dump, list_dump_prefixes
+
+    prefixes = list_dump_prefixes(dump_dir)
+    dumps = [load_dump(dump_dir, p) for p in prefixes]
+    rows = []
+    for t in thresholds:
+        tp = fp = fn = tn = 0
+        for d in dumps:
+            pred = (d["coarse_pred"] if t is None
+                    else (d["p_inside"] > t).astype(np.int32))
+            lab = d["coarse_label"]
+            tp += int(((pred == 1) & (lab == 1)).sum())
+            fp += int(((pred == 1) & (lab == 0)).sum())
+            fn += int(((pred == 0) & (lab == 1)).sum())
+            tn += int(((pred == 0) & (lab == 0)).sum())
+        n = tp + fp + fn + tn
+        rows.append({
+            "threshold": t,
+            "accuracy": (tp + tn) / n,
+            "precision": tp / max(tp + fp, 1),
+            "recall": tp / max(tp + fn, 1),
+        })
+    return rows
+
+
+def per_pair_anatomy(dump_dir, H, W, n_inits, max_iter, seed=0):
+    """Argmax-point per-pair success vs per-pair error stats."""
+    from deepi2p_tpu.eval.dump import load_dump, list_dump_prefixes
+    from deepi2p_tpu.eval.harness import evaluate_registration
+    from deepi2p_tpu.register.metrics import pose_diff_np
+
+    save_dir = os.path.join(dump_dir, "_anatomy")
+    summ = evaluate_registration(dump_dir, method="frustum", H=H, W=W,
+                                 n_inits=n_inits, max_iter=max_iter,
+                                 seed=seed, save_dir=save_dir)
+    P_pred_all = np.load(os.path.join(save_dir, "P_pred_all_np.npy"))
+    P_gt_all = np.load(os.path.join(save_dir, "P_gt_all_np.npy"))
+    prefixes = list_dump_prefixes(dump_dir)
+    pairs = []
+    for i, p in enumerate(prefixes):
+        d = load_dump(dump_dir, p)
+        pred, lab = d["coarse_pred"], d["coarse_label"]
+        acc = float((pred == lab).mean())
+        rec = float(((pred == 1) & (lab == 1)).sum()
+                    / max((lab == 1).sum(), 1))
+        prec = float(((pred == 1) & (lab == 1)).sum()
+                     / max((pred == 1).sum(), 1))
+        rte, rre = pose_diff_np(P_pred_all[i], P_gt_all[i])
+        pairs.append({"prefix": p, "accuracy": acc, "recall": rec,
+                      "precision": prec,
+                      "n_inside_label": int((lab == 1).sum()),
+                      "n_inside_pred": int((pred == 1).sum()),
+                      "rte": float(rte), "rre": float(rre),
+                      "success": bool(rte < 2.0 and rre < 5.0)})
+    fails = [e for e in pairs if not e["success"]]
+    anatomy = {
+        "summary": summ,
+        "n_fail": len(fails),
+        # a failure is RRE-limited if rotation alone already violates the
+        # gate; RTE-limited if rotation is fine but translation misses;
+        # both-limited otherwise
+        "rre_limited": sum(1 for e in fails
+                           if e["rre"] >= 5.0 and e["rte"] < 2.0),
+        "rte_limited": sum(1 for e in fails
+                           if e["rte"] >= 2.0 and e["rre"] < 5.0),
+        "both_limited": sum(1 for e in fails
+                            if e["rte"] >= 2.0 and e["rre"] >= 5.0),
+        "acc_mean_success": float(np.mean(
+            [e["accuracy"] for e in pairs if e["success"]])
+            if any(e["success"] for e in pairs) else np.nan),
+        "acc_mean_fail": float(np.mean([e["accuracy"] for e in fails])
+                               if fails else np.nan),
+        "pairs": pairs,
+    }
+    return anatomy
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dump-dir", default="ckpts/street_r3/headline_dump")
+    ap.add_argument("--out-json", default="ckpts/street_r3/conversion_sweep.json")
+    ap.add_argument("--img-h", type=int, default=96)
+    ap.add_argument("--img-w", type=int, default=160)
+    ap.add_argument("--n-inits", type=int, default=60)
+    ap.add_argument("--max-iter", type=int, default=64)
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--final-seeds", type=int, default=5)
+    ap.add_argument("--skip-anatomy", action="store_true")
+    args = ap.parse_args(argv)
+
+    from deepi2p_tpu.eval.harness import evaluate_registration
+
+    thresholds = [None, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5]
+    out_weights = [1.0, 0.5, 0.3]
+    H, W = args.img_h, args.img_w
+
+    result = {"dump_dir": args.dump_dir,
+              "budget": {"n_inits": args.n_inits, "max_iter": args.max_iter,
+                         "seeds": args.seeds}}
+
+    result["operating_points"] = host_operating_points(args.dump_dir,
+                                                       thresholds)
+    print(json.dumps(result["operating_points"], indent=1), flush=True)
+
+    sweep = []
+    for t in thresholds:
+        for w in out_weights:
+            # (t=None, w=1.0) is the headline argmax point — kept in the
+            # grid as the sanity anchor against headline.json
+            succ = []
+            for seed in range(args.seeds):
+                summ = evaluate_registration(
+                    args.dump_dir, method="frustum", H=H, W=W,
+                    n_inits=args.n_inits, max_iter=args.max_iter,
+                    seed=seed, inside_threshold=t, outside_weight=w)
+                succ.append(summ["success_rate"])
+            row = {"threshold": t, "outside_weight": w,
+                   "success_mean": float(np.mean(succ)),
+                   "per_seed": succ}
+            sweep.append(row)
+            print(json.dumps(row), flush=True)
+    result["sweep"] = sweep
+
+    best = max(sweep, key=lambda r: r["success_mean"])
+    succ = []
+    for seed in range(args.final_seeds):
+        summ = evaluate_registration(
+            args.dump_dir, method="frustum", H=H, W=W,
+            n_inits=args.n_inits, max_iter=args.max_iter, seed=seed,
+            inside_threshold=best["threshold"],
+            outside_weight=best["outside_weight"])
+        succ.append(summ["success_rate"])
+    result["best"] = {**best,
+                      "final_seeds": args.final_seeds,
+                      "final_success_mean": float(np.mean(succ)),
+                      "final_per_seed": succ}
+    print("best:", json.dumps(result["best"]), flush=True)
+
+    if not args.skip_anatomy:
+        result["anatomy"] = per_pair_anatomy(
+            args.dump_dir, H, W, args.n_inits, args.max_iter)
+        a = dict(result["anatomy"])
+        a.pop("pairs")
+        print("anatomy:", json.dumps(a), flush=True)
+
+    with open(args.out_json, "w") as f:
+        json.dump(result, f, indent=2)
+    print(f"wrote {args.out_json}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -15,6 +15,10 @@
 # registration_pnp.py:95-148).
 cd /root/repo
 for i in $(seq 1 20); do
+  # stop flag checked BEFORE launching (not only after an attempt exits):
+  # a stop request arriving during the inter-attempt sleep must not win
+  # one more full training window (ADVICE r4)
+  [ -f /tmp/stop_kitti ] && { echo "=== stop flag (pre-launch)" >> /tmp/kitti_shape.log; break; }
   echo "=== attempt $i $(date -u +%H:%M:%SZ)" >> /tmp/kitti_shape.log
   timeout 5200 python -m deepi2p_tpu.train.cli --dataset synthetic \
     --synthetic-preset kitti --synthetic-scene street --fresh-scenes \

@@ -48,6 +48,15 @@ def test_train_cli_synthetic(tmp_path):
     assert int(state4.step) == 6
 
 
+def test_warm_start_partial_requires_warm_start():
+    """--warm-start-partial without --warm-start is a user error, not a
+    silent no-op (ADVICE r4)."""
+    from deepi2p_tpu.train.cli import main
+    with pytest.raises(SystemExit):
+        main(["--dataset", "synthetic", "--epochs", "1",
+              "--warm-start-partial"])
+
+
 def test_train_cli_steps_per_dispatch(tmp_path):
     from deepi2p_tpu.train.cli import main
     state = main([

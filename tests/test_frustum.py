@@ -222,9 +222,13 @@ def test_bench_config_quality_gate_real_structure(rng):
     import json, os
     fix_path = os.path.join(os.path.dirname(__file__), "fixtures",
                             "error_structure.json")
-    if not os.path.isfile(fix_path):
-        pytest.skip("error-structure fixture not yet generated "
-                    "(scripts/characterize_errors.py on a real dump)")
+    # the fixture is COMMITTED (VERDICT r4 #7): a missing file means a
+    # broken checkout or an accidental deletion — fail, never skip, so
+    # the bench knobs cannot silently lose their quality gate
+    assert os.path.isfile(fix_path), (
+        "tests/fixtures/error_structure.json missing — it is a committed "
+        "artifact (regenerate with scripts/characterize_errors.py on a "
+        "real dump)")
     with open(fix_path) as f:
         fix = json.load(f)
     from deepi2p_tpu.register.noise import flip_border_band, flip_iid

@@ -261,3 +261,17 @@ def test_warm_start_partial_cross_geometry(tmp_path):
             n_skip += 1
     assert n_skip > 0, "geometry change should mismatch the fine head"
     assert n_match > 10 * n_skip, "trunk should dominate the transfer"
+
+    # minimum-transfer guard (ADVICE r4): a snapshot whose keys have
+    # drifted (here: truncated to a handful of leaves) must raise in
+    # partial mode instead of silently returning a near-fresh init...
+    z = np.load(path)
+    few = {k: z[k] for k in list(z.files)[:3]}
+    few["__step__"] = np.asarray(777)
+    drifted = str(tmp_path / "drifted.npz")
+    np.savez(drifted, **few)
+    with np.testing.assert_raises(ValueError):
+        warm_start_npz(template, drifted, eng_b.tx, partial=True)
+    # ...unless explicitly overridden
+    warm_start_npz(template, drifted, eng_b.tx, partial=True,
+                   min_transfer_frac=0.0)
