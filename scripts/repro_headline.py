@@ -60,7 +60,8 @@ def build_dump(args, cfg, checkpoint, dump_dir, _cache={}):
     state = warm_start_npz(_cache["template"], checkpoint, engine.tx)
     step = int(state.step)
     coarse_acc, fine_acc = dump_predictions(
-        engine, state, iter(loader), cfg, dump_dir, save_probs=True)
+        engine, state, iter(loader), cfg, dump_dir, save_probs=True,
+        save_images=args.save_images)
     return step, coarse_acc, fine_acc
 
 
@@ -92,6 +93,11 @@ def main(argv=None):
                          "ESTIMATED depth instead of the GT-depth oracle")
     ap.add_argument("--skip-dump", action="store_true",
                     help="reuse an existing --dump-dir (table only)")
+    ap.add_argument("--save-images", action="store_true",
+                    help="also write {prefix}_img.npy into the dump — "
+                         "required by --depth-checkpoint (the monodepth "
+                         "ICP chain reads images from the dump dir, like "
+                         "the reference's save_depth_map.py)")
     # Run B (street_r3) training geometry — must match the checkpoint
     ap.add_argument("--points", type=int, default=4096)
     ap.add_argument("--nodes", type=int, default=64)
@@ -164,10 +170,16 @@ def run_one(args, cfg, checkpoint, dump_dir=None, out_json=None):
         from deepi2p_tpu.eval.depth import dump_pseudo_pointclouds
         from deepi2p_tpu.eval.dump import list_dump_prefixes
         depth_fn = load_depth_fn(args.depth_checkpoint, cfg)
-        for prefix in list_dump_prefixes(dump_dir):
+        prefixes_with_img = [
+            p for p in list_dump_prefixes(dump_dir)
+            if os.path.isfile(os.path.join(dump_dir, p + "_img.npy"))]
+        if not prefixes_with_img:
+            raise FileNotFoundError(
+                f"--depth-checkpoint given but {dump_dir} has no "
+                "{prefix}_img.npy files — regenerate the dump with "
+                "--save-images")
+        for prefix in prefixes_with_img:
             img_path = os.path.join(dump_dir, prefix + "_img.npy")
-            if not os.path.isfile(img_path):
-                continue
             K = np.load(os.path.join(dump_dir, prefix + "_K.npy"))
             dump_pseudo_pointclouds([(prefix, np.load(img_path))], K,
                                     depth_fn, pseudo_dir)
