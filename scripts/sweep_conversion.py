@@ -128,6 +128,10 @@ def main(argv=None):
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--final-seeds", type=int, default=5)
     ap.add_argument("--skip-anatomy", action="store_true")
+    ap.add_argument("--host-only", action="store_true",
+                    help="operating-point stats only (pure numpy, no "
+                         "solver) — safe to run concurrently with a "
+                         "live chip job")
     args = ap.parse_args(argv)
 
     from deepi2p_tpu.eval.harness import evaluate_registration
@@ -143,6 +147,11 @@ def main(argv=None):
     result["operating_points"] = host_operating_points(args.dump_dir,
                                                        thresholds)
     print(json.dumps(result["operating_points"], indent=1), flush=True)
+    if args.host_only:
+        with open(args.out_json, "w") as f:
+            json.dump(result, f, indent=2)
+        print(f"wrote {args.out_json} (host-only)", flush=True)
+        return
 
     sweep = []
     for t in thresholds:
