@@ -49,6 +49,7 @@ def evaluate_registration(data_dir: str, *, method: str = "frustum",
                           enu2cam: bool = False,
                           outside_weight: float = 1.0,
                           inside_threshold: Optional[float] = None,
+                          confidence_gamma: Optional[float] = None,
                           icp_coarse_threshold: Optional[float] = None,
                           icp_seed: str = "none"
                           ) -> Dict[str, float]:
@@ -74,6 +75,10 @@ def evaluate_registration(data_dir: str, *, method: str = "frustum",
         picks a recall-heavy operating point for the frustum cost
         without re-running the network.  None keeps the dumped
         (argmax or dump-time-thresholded) decision.
+      confidence_gamma: weight each point's robust-cost block by
+        ``|2*p_inside - 1|**gamma`` (frustum only; needs ``--save-probs``
+        dumps) — near-boundary, likely-wrong labels pull the solve less.
+        None = unweighted reference cost.
       icp_coarse_threshold: multi-scale ICP anneal start in metres
         (None = the reference's fixed 1 m threshold; basin widening).
       icp_seed: 'none' (the reference's blind ±2π draws) or 'frustum' —
@@ -84,12 +89,13 @@ def evaluate_registration(data_dir: str, *, method: str = "frustum",
     """
     prefixes = list_dump_prefixes(data_dir)[::stride]
     dumps = [load_dump(data_dir, p) for p in prefixes]
-    if inside_threshold is not None:
+    if inside_threshold is not None or confidence_gamma is not None:
         missing = [p for p, d in zip(prefixes, dumps) if "p_inside" not in d]
         if missing:
             raise ValueError(
-                f"inside_threshold needs {{prefix}}_p.npy (dump with "
-                f"--save-probs); missing for {missing[:3]}...")
+                f"inside_threshold/confidence_gamma need {{prefix}}_p.npy "
+                f"(dump with --save-probs); missing for {missing[:3]}...")
+    if inside_threshold is not None:
         for d in dumps:
             d["coarse_pred"] = (d["p_inside"]
                                 > inside_threshold).astype(np.int32)
@@ -177,10 +183,17 @@ def evaluate_registration(data_dir: str, *, method: str = "frustum",
             K = jnp.asarray(np.stack([d["K"] for d in chunk]), jnp.float32)
             key, sub = jax.random.split(key)
             if method == "frustum":
+                pw = None
+                if confidence_gamma is not None:
+                    p_in = np.stack([d["p_inside"] for d in chunk])
+                    pw = jnp.asarray(
+                        np.abs(2.0 * p_in - 1.0) ** confidence_gamma,
+                        jnp.float32)
                 P, cost = solve_frustum_batch(pc, coarse, K, H=H, W=W,
                                               rng=sub, n_inits=n_inits,
                                               max_iter=max_iter,
-                                              outside_weight=outside_weight)
+                                              outside_weight=outside_weight,
+                                              point_weights=pw)
             elif method == "pnp":
                 ffield = "fine_label" if use_labels else "fine_pred"
                 fine = jnp.asarray(np.stack([d[ffield] for d in chunk]))

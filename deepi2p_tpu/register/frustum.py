@@ -202,17 +202,23 @@ def _spd_solve(A: jax.Array, b: jax.Array) -> jax.Array:
                                              "outside_weight"))
 def lm_solve(pts, labels, valid, K, theta0, t_lb, t_ub, *,
              H: int, W: int, max_iter: int = 32,
-             is_2d: bool = True, outside_weight: float = 1.0) -> LMResult:
+             is_2d: bool = True, outside_weight: float = 1.0,
+             point_weights=None) -> LMResult:
     """Single-problem LM; ``vmap`` over initialisations x pairs for batches.
 
     Args:
       pts (N,3) f32, labels (N,) {0,1}, valid (N,) {0,1} (front-crop mask),
       K (3,3), theta0 (4,) or (6,), t_lb/t_ub (3,) translation bounds.
+      point_weights: optional (N,) per-point block weights multiplied into
+        the robust cost — e.g. classifier-confidence weights ``|2p-1|^g``
+        so near-boundary (likely-wrong) labels pull the solve less.
     """
     P = theta0.shape[0]
     t_off = 1 if is_2d else 3
     pts_t = pts.T                                       # (3, N)
     pw = _outside_pw(labels, outside_weight)
+    if point_weights is not None:
+        pw = point_weights if pw is None else pw * point_weights
     vw = valid if pw is None else valid * pw
 
     def clip_t(theta):
@@ -313,7 +319,8 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng=None,
                         backend: str = "auto", theta0=None,
                         probe_stride: int | None = None,
                         survivors: int | None = None,
-                        outside_weight: float = 1.0):
+                        outside_weight: float = 1.0,
+                        point_weights=None):
     """Full multi-init solve for a batch of pairs.
 
     Mirrors ``solve_P_random_perturb`` (``registration_lsq.py:142-186``):
@@ -364,7 +371,7 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng=None,
 
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if outside_weight != 1.0:
+    if outside_weight != 1.0 or point_weights is not None:
         backend = "generic"     # autodiff lm_solve path below
     # backend == 'generic' may also be requested explicitly (no halving,
     # full budget on every init — the apples-to-apples baseline for
@@ -452,15 +459,20 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng=None,
                 pc_s, labels_s, valid_s, K, theta_top, t_lb, t_ub,
                 H=H, W=W, max_iter=max_iter - probe_iter)
     else:
+        pw_s = (None if point_weights is None
+                else jnp.asarray(point_weights,
+                                 pc.dtype)[:, ::solver_stride])
         solve_one = functools.partial(lm_solve, H=H, W=W, max_iter=max_iter,
                                       is_2d=is_2d,
                                       outside_weight=outside_weight)
         # vmap over inits, then over pairs
-        inner = jax.vmap(lambda th, p, l, v, k:
-                         solve_one(p, l, v, k, th, t_lb, t_ub),
-                         in_axes=(0, None, None, None, None))
-        outer = jax.vmap(inner, in_axes=(0, 0, 0, 0, 0))
-        res = outer(theta0, pc_s, labels_s, valid_s, K)
+        inner = jax.vmap(lambda th, p, l, v, k, w:
+                         solve_one(p, l, v, k, th, t_lb, t_ub,
+                                   point_weights=w),
+                         in_axes=(0, None, None, None, None, None))
+        outer = jax.vmap(inner, in_axes=(0, 0, 0, 0, 0,
+                                         None if pw_s is None else 0))
+        res = outer(theta0, pc_s, labels_s, valid_s, K, pw_s)
         thetas, costs = res.theta, res.cost
 
     best = jnp.argmin(costs, axis=1)                           # (B,)

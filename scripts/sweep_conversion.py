@@ -147,11 +147,26 @@ def main(argv=None):
     result["operating_points"] = host_operating_points(args.dump_dir,
                                                        thresholds)
     print(json.dumps(result["operating_points"], indent=1), flush=True)
+
     if args.host_only:
         with open(args.out_json, "w") as f:
             json.dump(result, f, indent=2)
         print(f"wrote {args.out_json} (host-only)", flush=True)
         return
+
+    # PnP threshold sweep (no outside_weight — PnP has no robust cost to
+    # weight; the threshold changes which points count as inside and thus
+    # the 2D-3D correspondences RANSAC sees)
+    pnp_rows = []
+    for t in thresholds:
+        summ = evaluate_registration(
+            args.dump_dir, method="pnp", H=H, W=W, seed=0,
+            n_inits=args.n_inits, max_iter=args.max_iter,
+            inside_threshold=t)
+        pnp_rows.append({"threshold": t,
+                         "success": summ["success_rate"]})
+        print("pnp", json.dumps(pnp_rows[-1]), flush=True)
+    result["pnp_sweep"] = pnp_rows
 
     sweep = []
     for t in thresholds:
@@ -186,6 +201,27 @@ def main(argv=None):
                       "final_success_mean": float(np.mean(succ)),
                       "final_per_seed": succ}
     print("best:", json.dumps(result["best"]), flush=True)
+
+    # confidence-weighting mini-sweep at the winning operating point:
+    # weight each robust block by |2p-1|^gamma (register.frustum
+    # point_weights) so near-boundary labels pull the solve less
+    gammas = [0.5, 1.0, 2.0]
+    gsweep = []
+    for g in gammas:
+        succ = []
+        for seed in range(args.seeds):
+            summ = evaluate_registration(
+                args.dump_dir, method="frustum", H=H, W=W,
+                n_inits=args.n_inits, max_iter=args.max_iter, seed=seed,
+                inside_threshold=best["threshold"],
+                outside_weight=best["outside_weight"],
+                confidence_gamma=g)
+            succ.append(summ["success_rate"])
+        row = {"gamma": g, "success_mean": float(np.mean(succ)),
+               "per_seed": succ}
+        gsweep.append(row)
+        print(json.dumps(row), flush=True)
+    result["confidence_sweep"] = gsweep
 
     if not args.skip_anatomy:
         result["anatomy"] = per_pair_anatomy(
