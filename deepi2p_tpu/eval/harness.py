@@ -48,6 +48,7 @@ def evaluate_registration(data_dir: str, *, method: str = "frustum",
                           save_dir: Optional[str] = None,
                           enu2cam: bool = False,
                           outside_weight: float = 1.0,
+                          edge_margin_px: float = 0.0,
                           inside_threshold: Optional[float] = None,
                           confidence_gamma: Optional[float] = None,
                           icp_coarse_threshold: Optional[float] = None,
@@ -70,6 +71,8 @@ def evaluate_registration(data_dir: str, *, method: str = "frustum",
         axis is camera-y.
       outside_weight: down-weight outside-labelled blocks in the frustum
         cost (recall-limited classifiers; 1.0 = exact reference cost).
+      edge_margin_px: relax both frustum label tests by this many pixels
+        (border-band-error mitigation; 0.0 = exact reference cost).
       inside_threshold: re-derive ``coarse_pred`` host-side as
         ``p_inside > t`` from dumps written with ``--save-probs`` —
         picks a recall-heavy operating point for the frustum cost
@@ -193,6 +196,7 @@ def evaluate_registration(data_dir: str, *, method: str = "frustum",
                                               rng=sub, n_inits=n_inits,
                                               max_iter=max_iter,
                                               outside_weight=outside_weight,
+                                              edge_margin_px=edge_margin_px,
                                               point_weights=pw)
             elif method == "pnp":
                 ffield = "fine_label" if use_labels else "fine_pred"

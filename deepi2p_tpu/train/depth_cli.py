@@ -114,12 +114,17 @@ def main(argv=None):
     p.add_argument("--points", type=int, default=2048)
     p.add_argument("--scene", default="street",
                    choices=["uniform", "street"])
+    p.add_argument("--img-h", type=int, default=64,
+                   help="training image height — match the geometry of the "
+                        "dump the depth maps will be estimated for")
+    p.add_argument("--img-w", type=int, default=96)
     p.add_argument("--checkpoints-dir", default="depth_checkpoints")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
     cfg = config_mod.tiny(synthetic_scene=args.scene,
-                          input_pt_num=args.points)
+                          input_pt_num=args.points,
+                          img_H=args.img_h, img_W=args.img_w)
     _, params, val = train_depth(cfg, steps=args.steps,
                                  batch_size=args.batch_size, lr=args.lr,
                                  seed=args.seed)

@@ -15,7 +15,7 @@ for i in $(seq 1 20); do
   echo "=== attempt $i $(date -u +%H:%M:%SZ)" >> /tmp/kitti_n20k.log
   timeout 5200 python -m deepi2p_tpu.train.cli --dataset synthetic \
     --synthetic-preset kitti --synthetic-scene street --fresh-scenes \
-    --synthetic-len 8192 --epochs 40 --batch-size 8 \
+    --synthetic-len 8192 --epochs 64 --batch-size 8 \
     --points 20480 --nodes 128 --img-h 160 --img-w 512 \
     --lr-decay-step 10 --val-len 512 \
     --steps-per-dispatch 8 --ckpt-every 1000 --device-data \
@@ -25,7 +25,7 @@ for i in $(seq 1 20); do
     --resume >> /tmp/kitti_n20k.log 2>&1
   rc=$?
   echo "=== attempt $i exit=$rc $(date -u +%H:%M:%SZ)" >> /tmp/kitti_n20k.log
-  if grep -q "epoch 39 done" /tmp/kitti_n20k.log; then
+  if grep -q "epoch 63 done" /tmp/kitti_n20k.log; then
     echo "=== training complete" >> /tmp/kitti_n20k.log
     break
   fi

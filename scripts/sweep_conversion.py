@@ -117,6 +117,29 @@ def per_pair_anatomy(dump_dir, H, W, n_inits, max_iter, seed=0):
     return anatomy
 
 
+def margin_sweep(args, anchor, evaluate_registration, H, W):
+    """Sweep the frustum cost's ``edge_margin_px`` at a fixed
+    (threshold, outside_weight) operating point."""
+    rows = []
+    for m in args.edge_margins:
+        succ = []
+        for seed in range(args.seeds):
+            summ = evaluate_registration(
+                args.dump_dir, method="frustum", H=H, W=W,
+                n_inits=args.n_inits, max_iter=args.max_iter, seed=seed,
+                inside_threshold=anchor["threshold"],
+                outside_weight=anchor["outside_weight"],
+                edge_margin_px=m)
+            succ.append(summ["success_rate"])
+        row = {"edge_margin_px": m,
+               "threshold": anchor["threshold"],
+               "outside_weight": anchor["outside_weight"],
+               "success_mean": float(np.mean(succ)), "per_seed": succ}
+        rows.append(row)
+        print("margin", json.dumps(row), flush=True)
+    return rows
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--dump-dir", default="ckpts/street_r3/headline_dump")
@@ -128,6 +151,18 @@ def main(argv=None):
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--final-seeds", type=int, default=5)
     ap.add_argument("--skip-anatomy", action="store_true")
+    ap.add_argument("--edge-margins", type=float, nargs="*", default=None,
+                    help="if given, sweep the frustum cost's edge_margin_px "
+                         "at the best (threshold, outside_weight) point — "
+                         "border-band-error mitigation "
+                         "(register.frustum edge_margin_px)")
+    ap.add_argument("--only-margins", action="store_true",
+                    help="with --edge-margins: skip the full "
+                         "(threshold x weight) grid and anchor the margin "
+                         "sweep at the operating point given by "
+                         "--anchor-threshold/--anchor-outside-weight")
+    ap.add_argument("--anchor-threshold", type=float, default=None)
+    ap.add_argument("--anchor-outside-weight", type=float, default=1.0)
     ap.add_argument("--host-only", action="store_true",
                     help="operating-point stats only (pure numpy, no "
                          "solver) — safe to run concurrently with a "
@@ -152,6 +187,17 @@ def main(argv=None):
         with open(args.out_json, "w") as f:
             json.dump(result, f, indent=2)
         print(f"wrote {args.out_json} (host-only)", flush=True)
+        return
+
+    if args.only_margins:
+        assert args.edge_margins, "--only-margins needs --edge-margins"
+        best = {"threshold": args.anchor_threshold,
+                "outside_weight": args.anchor_outside_weight}
+        result["margin_sweep"] = margin_sweep(
+            args, best, evaluate_registration, H, W)
+        with open(args.out_json, "w") as f:
+            json.dump(result, f, indent=2)
+        print(f"wrote {args.out_json} (margins only)", flush=True)
         return
 
     # PnP threshold sweep (no outside_weight — PnP has no robust cost to
@@ -222,6 +268,10 @@ def main(argv=None):
         gsweep.append(row)
         print(json.dumps(row), flush=True)
     result["confidence_sweep"] = gsweep
+
+    if args.edge_margins:
+        result["margin_sweep"] = margin_sweep(
+            args, best, evaluate_registration, H, W)
 
     if not args.skip_anatomy:
         result["anatomy"] = per_pair_anatomy(
