@@ -163,6 +163,15 @@ def main(argv=None):
                          "--anchor-threshold/--anchor-outside-weight")
     ap.add_argument("--anchor-threshold", type=float, default=None)
     ap.add_argument("--anchor-outside-weight", type=float, default=1.0)
+    ap.add_argument("--thresholds", type=float, nargs="*", default=None,
+                    help="override the threshold grid (argmax None is "
+                         "always prepended); e.g. --thresholds 0.4 0.45 "
+                         "0.5 for a focused sweep at large N where the "
+                         "generic solver path is expensive")
+    ap.add_argument("--out-weights", type=float, nargs="*", default=None,
+                    help="override the outside_weight grid (non-1.0 "
+                         "values route through the slow generic LM path)")
+    ap.add_argument("--skip-confidence", action="store_true")
     ap.add_argument("--host-only", action="store_true",
                     help="operating-point stats only (pure numpy, no "
                          "solver) — safe to run concurrently with a "
@@ -171,8 +180,11 @@ def main(argv=None):
 
     from deepi2p_tpu.eval.harness import evaluate_registration
 
-    thresholds = [None, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5]
-    out_weights = [1.0, 0.5, 0.3]
+    thresholds = ([None] + list(args.thresholds)
+                  if args.thresholds is not None
+                  else [None, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5])
+    out_weights = (list(args.out_weights)
+                   if args.out_weights is not None else [1.0, 0.5, 0.3])
     H, W = args.img_h, args.img_w
 
     result = {"dump_dir": args.dump_dir,
@@ -251,7 +263,7 @@ def main(argv=None):
     # confidence-weighting mini-sweep at the winning operating point:
     # weight each robust block by |2p-1|^gamma (register.frustum
     # point_weights) so near-boundary labels pull the solve less
-    gammas = [0.5, 1.0, 2.0]
+    gammas = [] if args.skip_confidence else [0.5, 1.0, 2.0]
     gsweep = []
     for g in gammas:
         succ = []
