@@ -26,3 +26,28 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# --- duration recording (VERDICT r4 #4: tier the suite from MEASURED data) ---
+# Every run appends per-test call durations to tests/.last_durations.json
+# (overwritten each session).  The `slow` marks in the files are assigned
+# from this data; re-run the full suite and diff to re-validate the tiers.
+_durations = {}
+
+
+def pytest_runtest_logreport(report):
+    if report.when == "call":
+        _durations[report.nodeid] = round(report.duration, 2)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if not _durations:
+        return
+    import json
+    path = os.path.join(os.path.dirname(__file__), ".last_durations.json")
+    try:
+        with open(path, "w") as f:
+            json.dump(dict(sorted(_durations.items(),
+                                  key=lambda kv: -kv[1])), f, indent=1)
+    except OSError:
+        pass
