@@ -117,7 +117,7 @@ def per_pair_anatomy(dump_dir, H, W, n_inits, max_iter, seed=0):
     return anatomy
 
 
-def margin_sweep(args, anchor, evaluate_registration, H, W):
+def margin_sweep(args, anchor, evaluate_registration, H, W, on_row=None):
     """Sweep the frustum cost's ``edge_margin_px`` at a fixed
     (threshold, outside_weight) operating point."""
     rows = []
@@ -137,6 +137,8 @@ def margin_sweep(args, anchor, evaluate_registration, H, W):
                "success_mean": float(np.mean(succ)), "per_seed": succ}
         rows.append(row)
         print("margin", json.dumps(row), flush=True)
+        if on_row is not None:
+            on_row(rows)
     return rows
 
 
@@ -180,6 +182,14 @@ def main(argv=None):
 
     from deepi2p_tpu.eval.harness import evaluate_registration
 
+    def _write(result, note=""):
+        # incremental checkpointing: a timeout mid-sweep must not lose the
+        # completed sections (each solver evaluation is minutes at large N)
+        with open(args.out_json, "w") as f:
+            json.dump(result, f, indent=2)
+        if note:
+            print(f"wrote {args.out_json} ({note})", flush=True)
+
     thresholds = ([None] + list(args.thresholds)
                   if args.thresholds is not None
                   else [None, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5])
@@ -194,22 +204,22 @@ def main(argv=None):
     result["operating_points"] = host_operating_points(args.dump_dir,
                                                        thresholds)
     print(json.dumps(result["operating_points"], indent=1), flush=True)
+    _write(result)
 
     if args.host_only:
-        with open(args.out_json, "w") as f:
-            json.dump(result, f, indent=2)
-        print(f"wrote {args.out_json} (host-only)", flush=True)
+        _write(result, "host-only")
         return
 
     if args.only_margins:
         assert args.edge_margins, "--only-margins needs --edge-margins"
         best = {"threshold": args.anchor_threshold,
                 "outside_weight": args.anchor_outside_weight}
+        def _on_row(rows):
+            result["margin_sweep"] = rows
+            _write(result)
         result["margin_sweep"] = margin_sweep(
-            args, best, evaluate_registration, H, W)
-        with open(args.out_json, "w") as f:
-            json.dump(result, f, indent=2)
-        print(f"wrote {args.out_json} (margins only)", flush=True)
+            args, best, evaluate_registration, H, W, on_row=_on_row)
+        _write(result, "margins only")
         return
 
     # PnP threshold sweep (no outside_weight — PnP has no robust cost to
@@ -224,7 +234,8 @@ def main(argv=None):
         pnp_rows.append({"threshold": t,
                          "success": summ["success_rate"]})
         print("pnp", json.dumps(pnp_rows[-1]), flush=True)
-    result["pnp_sweep"] = pnp_rows
+        result["pnp_sweep"] = pnp_rows
+        _write(result)
 
     sweep = []
     for t in thresholds:
@@ -243,7 +254,8 @@ def main(argv=None):
                    "per_seed": succ}
             sweep.append(row)
             print(json.dumps(row), flush=True)
-    result["sweep"] = sweep
+            result["sweep"] = sweep
+            _write(result)
 
     best = max(sweep, key=lambda r: r["success_mean"])
     succ = []
@@ -259,6 +271,7 @@ def main(argv=None):
                       "final_success_mean": float(np.mean(succ)),
                       "final_per_seed": succ}
     print("best:", json.dumps(result["best"]), flush=True)
+    _write(result)
 
     # confidence-weighting mini-sweep at the winning operating point:
     # weight each robust block by |2p-1|^gamma (register.frustum
@@ -279,11 +292,15 @@ def main(argv=None):
                "per_seed": succ}
         gsweep.append(row)
         print(json.dumps(row), flush=True)
-    result["confidence_sweep"] = gsweep
+        result["confidence_sweep"] = gsweep
+        _write(result)
 
     if args.edge_margins:
+        def _on_row(rows):
+            result["margin_sweep"] = rows
+            _write(result)
         result["margin_sweep"] = margin_sweep(
-            args, best, evaluate_registration, H, W)
+            args, best, evaluate_registration, H, W, on_row=_on_row)
 
     if not args.skip_anatomy:
         result["anatomy"] = per_pair_anatomy(
@@ -292,9 +309,7 @@ def main(argv=None):
         a.pop("pairs")
         print("anatomy:", json.dumps(a), flush=True)
 
-    with open(args.out_json, "w") as f:
-        json.dump(result, f, indent=2)
-    print(f"wrote {args.out_json}", flush=True)
+    _write(result, "complete")
 
 
 if __name__ == "__main__":
