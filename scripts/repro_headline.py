@@ -145,12 +145,32 @@ def run_one(args, cfg, checkpoint, dump_dir=None, out_json=None):
     common = dict(H=H, W=W, n_inits=args.n_inits, max_iter=args.max_iter)
     rows = {}
 
+    result = {
+        "checkpoint": checkpoint,
+        "step": step,
+        "pairs": args.pairs,
+        "dump_coarse_accuracy": coarse_acc,
+        "dump_fine_accuracy": fine_acc,
+        "budget": {"n_inits": args.n_inits, "max_iter": args.max_iter,
+                   "seeds": args.seeds},
+        "config": {"points": args.points, "nodes": args.nodes,
+                   "img": [args.img_h, args.img_w], "preset": args.preset},
+        "rows": rows,
+    }
+
+    def _write():
+        # incremental: a timeout mid-table keeps every finished row (each
+        # is minutes at large N; the dump dir already persists separately)
+        with open(out_json, "w") as f:
+            json.dump(result, f, indent=2)
+
     per_seed = []
     for seed in range(args.seeds):
         summ = evaluate_registration(dump_dir, method="frustum",
                                      seed=seed, **common)
         per_seed.append(summ)
         print(f"frustum pred seed {seed}: {json.dumps(summ)}", flush=True)
+        _write()
     rows["frustum_pred"] = {
         k: float(np.mean([s[k] for s in per_seed])) for k in per_seed[0]}
     rows["frustum_pred"]["per_seed_success"] = [
@@ -159,10 +179,12 @@ def run_one(args, cfg, checkpoint, dump_dir=None, out_json=None):
     rows["frustum_oracle"] = evaluate_registration(
         dump_dir, method="frustum", use_labels=True, seed=0, **common)
     print(f"frustum oracle: {json.dumps(rows['frustum_oracle'])}", flush=True)
+    _write()
 
     rows["pnp_pred"] = evaluate_registration(
         dump_dir, method="pnp", seed=0, **common)
     print(f"pnp pred: {json.dumps(rows['pnp_pred'])}", flush=True)
+    _write()
 
     pseudo_dir = os.path.join(dump_dir, "_pseudo")
     if args.depth_checkpoint:
@@ -203,6 +225,7 @@ def run_one(args, cfg, checkpoint, dump_dir=None, out_json=None):
                                         max_iter=30, H=H, W=W)
     rows["icp"]["depth"] = icp_depth
     print(f"icp ({icp_depth}): {json.dumps(rows['icp'])}", flush=True)
+    _write()
 
     # the basin-widened variant (VERDICT r3 #5): multi-scale threshold
     # anneal + half the inits seeded from the frustum solution on the
@@ -216,25 +239,13 @@ def run_one(args, cfg, checkpoint, dump_dir=None, out_json=None):
     rows["icp_seeded"]["depth"] = icp_depth
     print(f"icp seeded ({icp_depth}): {json.dumps(rows['icp_seeded'])}",
           flush=True)
+    _write()
 
     rows["random"] = evaluate_registration(dump_dir, method="random",
                                            seed=0, **common)
     print(f"random: {json.dumps(rows['random'])}", flush=True)
 
-    result = {
-        "checkpoint": checkpoint,
-        "step": step,
-        "pairs": args.pairs,
-        "dump_coarse_accuracy": coarse_acc,
-        "dump_fine_accuracy": fine_acc,
-        "budget": {"n_inits": args.n_inits, "max_iter": args.max_iter,
-                   "seeds": args.seeds},
-        "config": {"points": args.points, "nodes": args.nodes,
-                   "img": [args.img_h, args.img_w], "preset": args.preset},
-        "rows": rows,
-    }
-    with open(out_json, "w") as f:
-        json.dump(result, f, indent=2)
+    _write()
     print(f"wrote {out_json}", flush=True)
     return result
 
