@@ -1,5 +1,8 @@
 """MMClassifier facade: the reference engine API on the jitted engine."""
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # full-model compile / e2e tier (see pytest.ini)
 import jax.numpy as jnp
 
 from deepi2p_tpu import config

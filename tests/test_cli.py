@@ -5,6 +5,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model compile / oracle / e2e tier (see pytest.ini)
+
 
 def test_train_cli_synthetic(tmp_path):
     from deepi2p_tpu.train.cli import main

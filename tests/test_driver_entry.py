@@ -5,6 +5,9 @@ import os
 import sys
 
 import jax
+import pytest
+
+pytestmark = pytest.mark.slow  # full-model compile / e2e tier (see pytest.ini)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -19,6 +19,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model compile / oracle / e2e tier (see pytest.ini)
+
 from deepi2p_tpu.register import frustum_cost, lm_solve
 from deepi2p_tpu.register.frustum import theta_to_pose
 from deepi2p_tpu.register.metrics import pose_diff_np

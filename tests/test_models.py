@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model compile / oracle / e2e tier (see pytest.ini)
+
 from deepi2p_tpu import config
 from deepi2p_tpu.models import (PointNetMLP, ResNetPyramid, PCEncoder,
                                 ImageEncoder, KeypointDetector)

@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model compile / oracle / e2e tier (see pytest.ini)
+
 from deepi2p_tpu import config
 from deepi2p_tpu.models import KeypointDetector
 from deepi2p_tpu.models.torch_import import (load_torch_detector,

@@ -21,6 +21,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model compile / oracle / e2e tier (see pytest.ini)
+
 torch = pytest.importorskip("torch")
 jnp = pytest.importorskip("jax.numpy")
 

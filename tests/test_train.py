@@ -1,5 +1,8 @@
 """End-to-end train-step tests on synthetic data (SURVEY.md §7 slice)."""
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # full-model compile / e2e tier (see pytest.ini)
 import jax
 import jax.numpy as jnp
 
