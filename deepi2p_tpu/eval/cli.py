@@ -55,6 +55,11 @@ def main(argv=None):
                    help="coarse decision p_inside > t instead of argmax "
                         "(recall-heavy operating point for the frustum "
                         "solver; argmax = reference behavior)")
+    d.add_argument("--classify-n", type=int, default=0,
+                   help="classify at this TRAINED point count on shuffled "
+                        "subsets and ensemble per-point probabilities "
+                        "(eval.dump.SubsampleEnsemble); the dump stays at "
+                        "--points; 0 = off")
 
     dd = sub.add_parser("depth-dump",
                         help="estimated-depth pseudo point clouds for ICP "
@@ -192,9 +197,18 @@ def main(argv=None):
         ds = NuScenesLoader(args.dataroot, "val", cfg)
         ds.mode = "val_random_Ry"
 
-    engine = Engine(cfg)
+    # --classify-n: the network runs at its trained point count on shuffled
+    # subsets; dump geometry (cloud, labels) stays at cfg.input_pt_num
+    ecfg = cfg if not args.classify_n else cfg.replace(
+        input_pt_num=args.classify_n)
+    engine = Engine(ecfg)
     loader = BatchLoader(ds, cfg.batch_size, shuffle=False, num_workers=4)
     example = next(iter(loader))
+    if args.classify_n:
+        n = args.classify_n
+        example = dict(example, pc=example["pc"][:, :n],
+                       intensity=example["intensity"][:, :n],
+                       sn=example["sn"][:, :n])
     import jax.numpy as jnp
     state = engine.init_state(jax.random.PRNGKey(0),
                               {k: jnp.asarray(v) for k, v in example.items()})
@@ -209,6 +223,9 @@ def main(argv=None):
             mgr = CheckpointManager(args.checkpoint)
             state = mgr.restore(state)
             mgr.close()
+    if args.classify_n:
+        from .dump import SubsampleEnsemble
+        engine = SubsampleEnsemble(engine, seed=0)
     coarse_acc, fine_acc = dump_predictions(
         engine, state, iter(loader), cfg, args.out,
         max_batches=args.max_batches, save_images=args.save_images,

@@ -39,26 +39,40 @@ def build_dump(args, cfg, checkpoint, dump_dir, _cache={}):
     from deepi2p_tpu.data import BatchLoader, SyntheticDataset
     from deepi2p_tpu.train.engine import Engine
     from deepi2p_tpu.train.checkpoint import warm_start_npz
-    from deepi2p_tpu.eval.dump import dump_predictions
+    from deepi2p_tpu.eval.dump import SubsampleEnsemble, dump_predictions
 
     ds = SyntheticDataset(cfg, length=args.pairs, seed=7)  # eval.cli's seed
     loader = BatchLoader(ds, cfg.batch_size, shuffle=False, num_workers=2)
+    # --classify-n: the network runs at its TRAINED point count on
+    # shuffled subsets and the per-point probabilities are ensembled
+    # (eval.dump.SubsampleEnsemble) — the dump geometry (cloud, labels,
+    # solver inputs) stays at --points
+    ecfg = cfg if not args.classify_n else cfg.replace(
+        input_pt_num=args.classify_n)
     # one Engine (and thus one compiled forward) shared across the
     # checkpoints of a multi-checkpoint invocation — per-instance jit
     # caches would otherwise recompile the full model per checkpoint
     # (minutes each over the TPU relay).  Keyed on the full config so a
     # second main() in the same process with a different cfg (tests,
     # notebooks) cannot silently reuse the wrong engine.
-    if _cache.get("cfg") != cfg:
+    if _cache.get("cfg") != ecfg:
         example = next(iter(loader))
-        _cache["cfg"] = cfg
-        _cache["engine"] = Engine(cfg)
+        if args.classify_n:
+            n = args.classify_n
+            example = dict(example,
+                           pc=example["pc"][:, :n],
+                           intensity=example["intensity"][:, :n],
+                           sn=example["sn"][:, :n])
+        _cache["cfg"] = ecfg
+        _cache["engine"] = Engine(ecfg)
         _cache["template"] = _cache["engine"].init_state(
             jax.random.PRNGKey(0),
             {k: jnp.asarray(v) for k, v in example.items()})
     engine = _cache["engine"]
     state = warm_start_npz(_cache["template"], checkpoint, engine.tx)
     step = int(state.step)
+    if args.classify_n:
+        engine = SubsampleEnsemble(engine, seed=0)
     coarse_acc, fine_acc = dump_predictions(
         engine, state, iter(loader), cfg, dump_dir, save_probs=True,
         save_images=args.save_images)
@@ -93,6 +107,13 @@ def main(argv=None):
                          "ESTIMATED depth instead of the GT-depth oracle")
     ap.add_argument("--skip-dump", action="store_true",
                     help="reuse an existing --dump-dir (table only)")
+    ap.add_argument("--classify-n", type=int, default=0,
+                    help="classify at this TRAINED point count on shuffled "
+                         "subsets and ensemble the per-point probabilities "
+                         "(SubsampleEnsemble) — restores the trained "
+                         "points-per-node statistics when --points exceeds "
+                         "the training N (round-5: N=20480 through the "
+                         "N=8192 kitti-shape model); 0 = off")
     ap.add_argument("--save-images", action="store_true",
                     help="also write {prefix}_img.npy into the dump — "
                          "required by --depth-checkpoint (the monodepth "
@@ -154,7 +175,8 @@ def run_one(args, cfg, checkpoint, dump_dir=None, out_json=None):
         "budget": {"n_inits": args.n_inits, "max_iter": args.max_iter,
                    "seeds": args.seeds},
         "config": {"points": args.points, "nodes": args.nodes,
-                   "img": [args.img_h, args.img_w], "preset": args.preset},
+                   "img": [args.img_h, args.img_w], "preset": args.preset,
+                   "classify_n": args.classify_n},
         "rows": rows,
     }
 

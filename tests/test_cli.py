@@ -161,6 +161,24 @@ def test_eval_cli_dump_inside_threshold(tmp_path):
     assert t0[3].mean() > a[3].mean() or t0[3].mean() == 1.0
 
 
+def test_eval_cli_dump_classify_n(tmp_path):
+    """--classify-n: the dump keeps the full cloud/labels geometry while
+    the network runs at the (smaller) trained point count on shuffled
+    subsets (eval.dump.SubsampleEnsemble).  Checks the npy contract shape,
+    prob coverage, and that the coarse decision equals p > 0.5."""
+    from deepi2p_tpu.eval.cli import main
+    out = str(tmp_path / "ens")
+    main(["dump", "--dataset", "synthetic", "--out", out,
+          "--batch-size", "2", "--max-batches", "1",
+          "--points", "96", "--nodes", "8", "--img-h", "32", "--img-w", "64",
+          "--classify-n", "64", "--save-probs"])
+    d = np.load(os.path.join(out, "000000_00_pc_label.npy"))
+    p = np.load(os.path.join(out, "000000_00_p.npy"))
+    assert d.shape == (7, 96) and p.shape == (96,)
+    assert np.all((p >= 0.0) & (p <= 1.0))
+    np.testing.assert_array_equal(d[3], (p > 0.5).astype(np.float32))
+
+
 def test_eval_cli_solve_inside_threshold_and_outside_weight(tmp_path):
     """Solve-time relabelling from saved probs: t=0.5 matches the argmax
     dump's solve bit-for-bit; a probless dump raises; outside_weight

@@ -1,0 +1,102 @@
+"""SubsampleEnsemble mechanics (eval/dump.py).
+
+The wrapper classifies an N-point cloud through a model trained at
+``sub_n`` points by splitting it into shuffled subsets and averaging the
+per-point inside-probabilities.  These tests pin the index bookkeeping
+with a stub engine whose outputs are pure per-point functions — the
+ensemble must then reproduce them EXACTLY for every point, for any
+(N, sub_n) relation (N a multiple of sub_n, ragged pad, N == sub_n, and
+the degenerate N < sub_n).  The real-model integration runs in
+``tests/test_cli.py::test_eval_cli_dump_classify_n`` (slow tier).
+"""
+import numpy as np
+import pytest
+
+from deepi2p_tpu.eval.dump import SubsampleEnsemble
+
+
+class _StubCfg:
+    def __init__(self, sub_n):
+        self.input_pt_num = sub_n
+        self.node_a_num = 4
+        self.node_b_num = 4
+
+
+class _StubEngine:
+    """Per-point deterministic outputs: p = sigmoid(x), fine = round(10z).
+
+    Also records every sub-batch to let tests assert shapes/coverage.
+    """
+
+    def __init__(self, sub_n):
+        self.cfg = _StubCfg(sub_n)
+        self.calls = []
+
+    def infer_probs(self, state, batch):
+        pc = np.asarray(batch["pc"])
+        self.calls.append({k: np.asarray(v).shape for k, v in batch.items()})
+        p = 1.0 / (1.0 + np.exp(-pc[..., 0]))
+        fine = np.round(10.0 * pc[..., 2]).astype(np.int32)
+        return p.astype(np.float32), fine
+
+
+def _batch(rng, B, N):
+    return dict(pc=rng.normal(size=(B, N, 3)).astype(np.float32),
+                intensity=rng.random((B, N, 1), dtype=np.float32),
+                sn=rng.normal(size=(B, N, 3)).astype(np.float32),
+                img=np.zeros((B, 8, 8, 3), np.float32),
+                K=np.tile(np.eye(3, dtype=np.float32), (B, 1, 1)))
+
+
+@pytest.mark.parametrize("N,sub_n", [(96, 32), (100, 32), (64, 64), (24, 32)])
+def test_ensemble_reproduces_per_point_function(N, sub_n):
+    rng = np.random.default_rng(0)
+    batch = _batch(rng, 2, N)
+    eng = _StubEngine(sub_n)
+    ens = SubsampleEnsemble(eng, seed=3)
+    p, fine = ens.infer_probs(None, batch)
+    assert p.shape == (2, N) and fine.shape == (2, N)
+    p_ref = 1.0 / (1.0 + np.exp(-batch["pc"][..., 0]))
+    # every point covered >= 1x; duplicates average identical values, so
+    # the result equals the per-point function exactly (float64 (v+v)/2)
+    np.testing.assert_allclose(p, p_ref, rtol=1e-6)
+    np.testing.assert_array_equal(
+        fine, np.round(10.0 * batch["pc"][..., 2]).astype(np.int32))
+    # every sub-batch presented at the trained geometry
+    for call in eng.calls:
+        assert call["pc"] == (2, sub_n, 3)
+        assert call["intensity"] == (2, sub_n, 1)
+        assert call["sn"] == (2, sub_n, 3)
+        assert call["node_a"] == (2, eng.cfg.node_a_num, 3)
+        assert call["node_b"] == (2, eng.cfg.node_b_num, 3)
+    assert len(eng.calls) == -(-N // sub_n)
+
+
+def test_ensemble_infer_is_thresholded_probs():
+    rng = np.random.default_rng(1)
+    batch = _batch(rng, 1, 80)
+    ens = SubsampleEnsemble(_StubEngine(32), seed=0)
+    p, _ = SubsampleEnsemble(_StubEngine(32), seed=0).infer_probs(None, batch)
+    coarse, fine = ens.infer(None, batch)
+    np.testing.assert_array_equal(coarse, (p > 0.5).astype(np.int32))
+    assert fine is not None
+
+
+def test_ensemble_deterministic_given_seed():
+    rng = np.random.default_rng(2)
+    batch = _batch(rng, 2, 100)
+
+    class _NoisyStub(_StubEngine):
+        # output depends on the SUBSET mean too, so a different cover
+        # produces different numbers — determinism must come from the seed
+        def infer_probs(self, state, b):
+            pc = np.asarray(b["pc"])
+            p = 1.0 / (1.0 + np.exp(-(pc[..., 0] + pc[..., 1].mean())))
+            return p.astype(np.float32), None
+
+    p1, f1 = SubsampleEnsemble(_NoisyStub(32), seed=5).infer_probs(None, batch)
+    p2, f2 = SubsampleEnsemble(_NoisyStub(32), seed=5).infer_probs(None, batch)
+    p3, _ = SubsampleEnsemble(_NoisyStub(32), seed=6).infer_probs(None, batch)
+    np.testing.assert_array_equal(p1, p2)
+    assert f1 is None and f2 is None
+    assert not np.array_equal(p1, p3)
