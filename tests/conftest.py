@@ -45,9 +45,17 @@ def pytest_sessionfinish(session, exitstatus):
         return
     import json
     path = os.path.join(os.path.dirname(__file__), ".last_durations.json")
+    # merge with prior runs: a focused re-run must not clobber the full
+    # suite's measurements (entries go stale only on test renames)
+    try:
+        with open(path) as f:
+            merged = json.load(f)
+    except (OSError, ValueError):
+        merged = {}
+    merged.update(_durations)
     try:
         with open(path, "w") as f:
-            json.dump(dict(sorted(_durations.items(),
+            json.dump(dict(sorted(merged.items(),
                                   key=lambda kv: -kv[1])), f, indent=1)
     except OSError:
         pass
