@@ -92,6 +92,16 @@ class Config:
     # can demonstrate full 4-DoF pose recovery (uniform clouds leave
     # translation nearly unidentifiable from noisy membership).
     synthetic_scene: str = "uniform"
+    # Render the synthetic camera image from only the first
+    # ``img_render_n`` points of the (already permuted) cloud; 0 renders
+    # from all ``input_pt_num`` points (legacy behavior).  Rationale: in
+    # the reference the image is a real photo, so its statistics NEVER
+    # depend on the lidar point count — but a splat of the full cloud
+    # couples the two, and evaluating an N=8192-trained model at
+    # N=20480 silently makes the images 2.5x denser than anything it
+    # trained on (round-5 n20k transfer analysis).  Pinning this to the
+    # training N for every eval N restores the reference's invariant.
+    img_render_n: int = 0
 
     # --- compute ----------------------------------------------------------
     compute_dtype: str = "bfloat16"      # activations dtype on TPU

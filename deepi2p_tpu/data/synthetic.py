@@ -173,8 +173,12 @@ def synthetic_batch(cfg: Config, batch_size: int | None = None,
     img = rng.uniform(0, 60, (B, cfg.img_H, cfg.img_W, 3)).astype(np.float32)
     depth_gt = (np.zeros((B, cfg.img_H, cfg.img_W), np.float32)
                 if with_depth else None)
+    # img_render_n: splat only the first rn (permuted => uniform subset)
+    # points so the image density is independent of input_pt_num — the
+    # reference's camera-image invariant (see config.Config.img_render_n)
+    rn = getattr(cfg, "img_render_n", 0) or N
     for b in range(B):
-        cam = pc[b] @ P[b, :3, :3].T + P[b, :3, 3]
+        cam = pc[b, :rn] @ P[b, :3, :3].T + P[b, :3, 3]
         z = cam[:, 2]
         front = z > 0.1
         u = (K[b, 0, 0] * cam[:, 0] / np.where(front, z, 1.0)
@@ -188,7 +192,7 @@ def synthetic_batch(cfg: Config, batch_size: int | None = None,
         # evidence for the classifier to learn from).
         order = np.argsort(-z[m], kind="stable")
         vi, ui, zi = v[m][order], u[m][order], z[m][order]
-        ii = intensity[b, m, 0][order]
+        ii = intensity[b, :rn, 0][m][order]
         depth_c = np.clip(255.0 * 5.0 / np.maximum(zi, 1.0), 0, 255)
         img[b, vi, ui, 0] = depth_c
         img[b, vi, ui, 1] = ii * 255.0

@@ -139,8 +139,16 @@ def _render(pc, intensity, P, K, H: int, W: int, key, with_depth: bool):
     a ``min`` race on depth, then ``max`` payload scatters masked to the
     race winners (the depth channel is monotone in z so it needs no
     mask).  Matches the host renderer's far-to-near stable splat up to
-    exact depth ties."""
-    cam = pc @ P[:3, :3].T + P[:3, 3]
+    exact depth ties.
+
+    precision=HIGHEST on the projection: the TPU default runs bf16
+    passes, which moves ~0.2% of points across a pixel boundary vs the
+    host renderer (caught by test_renderer_matches_host_splat on-chip,
+    round 5) — and the LABELS for these points are computed in exact f32
+    (ops/projection.py), so a bf16 image splat would put image evidence
+    and supervision on different pixels near boundaries."""
+    cam = jnp.matmul(pc, P[:3, :3].T,
+                     precision=jax.lax.Precision.HIGHEST) + P[:3, 3]
     z = cam[:, 2]
     front = z > 0.1
     zs = jnp.where(front, z, 1.0)
@@ -184,6 +192,11 @@ def synthetic_batch_jax(cfg: Config, key, batch_size: int | None = None,
     pose_cfg = cfg if cfg.dataset != "nuscenes" else cfg.replace(
         P_Ry_amplitude=cfg.P_Rz_amplitude, P_Rz_amplitude=0.0)
 
+    # img_render_n: splat a fixed-size (already permuted => uniform)
+    # subset so the image density is independent of input_pt_num — the
+    # reference's camera-image invariant (config.Config.img_render_n)
+    rn = getattr(cfg, "img_render_n", 0) or N
+
     def one(k):
         kc, kp, ka, kb, kr = jax.random.split(k, 5)
         pc, sn, inten = (_street_cloud(kc, N) if street
@@ -194,7 +207,8 @@ def synthetic_batch_jax(cfg: Config, key, batch_size: int | None = None,
         f = 0.6 * W
         K = jnp.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]],
                       jnp.float32)
-        img, depth = _render(pc, inten, P, K, H, W, kr, with_depth)
+        img, depth = _render(pc[:rn], inten[:rn], P, K, H, W, kr,
+                             with_depth)
         out = dict(pc=pc, intensity=inten, sn=sn, node_a=node_a,
                    node_b=node_b, P=P, img=img, K=K)
         if with_depth:
@@ -205,16 +219,18 @@ def synthetic_batch_jax(cfg: Config, key, batch_size: int | None = None,
 
     if cfg.dataset == "nuscenes":
         # ENU convention change, as in synthetic.synthetic_batch: the
-        # projected geometry (and labels) is invariant to it
+        # projected geometry (and labels) is invariant to it.
+        # HIGHEST: at TPU default precision these matmuls run bf16
+        # passes, quantizing coordinates to ~0.1 m at 40 m range BEFORE
+        # exact-f32 label generation sees them.
+        hi = jax.lax.Precision.HIGHEST
         C = jnp.array([[1, 0, 0, 0], [0, 0, -1, 0],
                        [0, 1, 0, 0], [0, 0, 0, 1]], jnp.float32)
-        batch["pc"] = batch["pc"] @ C[:3, :3]
-        batch["sn"] = batch["sn"] @ C[:3, :3]
-        batch["node_a"] = batch["node_a"] @ C[:3, :3]
-        batch["node_b"] = batch["node_b"] @ C[:3, :3]
+        for k in ("pc", "sn", "node_a", "node_b"):
+            batch[k] = jnp.matmul(batch[k], C[:3, :3], precision=hi)
         P4 = jnp.tile(jnp.eye(4), (batch["P"].shape[0], 1, 1))
         P4 = P4.at[:, :3].set(batch["P"])
-        batch["P"] = (P4 @ C[None])[:, :3]
+        batch["P"] = jnp.matmul(P4, C[None], precision=hi)[:, :3]
 
     return batch
 

@@ -114,6 +114,15 @@ def main(argv=None):
                          "points-per-node statistics when --points exceeds "
                          "the training N (round-5: N=20480 through the "
                          "N=8192 kitti-shape model); 0 = off")
+    ap.add_argument("--img-render-n", type=int, default=0,
+                    help="render the synthetic camera image from this many "
+                         "(permuted) points instead of all --points — pins "
+                         "the image density to the TRAINED N so an eval at "
+                         "larger N doesn't silently hand the image encoder "
+                         "out-of-distribution-dense splats (the reference's "
+                         "camera image never depends on the lidar point "
+                         "count); pair with --classify-n; 0 = legacy "
+                         "full-cloud splat")
     ap.add_argument("--save-images", action="store_true",
                     help="also write {prefix}_img.npy into the dump — "
                          "required by --depth-checkpoint (the monodepth "
@@ -137,7 +146,8 @@ def main(argv=None):
                 node_a_num=args.nodes, node_b_num=args.nodes,
                 k_ab=min(maker().k_ab, args.nodes),
                 img_H=args.img_h, img_W=args.img_w,
-                synthetic_scene="street")
+                synthetic_scene="street",
+                img_render_n=args.img_render_n)
 
     results = [run_one(args, cfg, args.checkpoint,
                        dump_dir=args.dump_dir, out_json=args.out_json)]
@@ -176,7 +186,8 @@ def run_one(args, cfg, checkpoint, dump_dir=None, out_json=None):
                    "seeds": args.seeds},
         "config": {"points": args.points, "nodes": args.nodes,
                    "img": [args.img_h, args.img_w], "preset": args.preset,
-                   "classify_n": args.classify_n},
+                   "classify_n": args.classify_n,
+                   "img_render_n": args.img_render_n},
         "rows": rows,
     }
 

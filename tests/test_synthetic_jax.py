@@ -110,3 +110,48 @@ def test_uniform_scene_and_nuscenes_convention():
     lab = generate_labels(nb["pc"], nb["P"], nb["K"], ncfg.img_H,
                           ncfg.img_W, ncfg.img_fine_resolution_scale)
     assert float(lab.coarse.mean()) > 0.01
+
+
+def test_img_render_n_subset_density(cfg):
+    """img_render_n renders the splat from only the first rn (permuted)
+    points in BOTH generators: fewer point-pixels than the full splat,
+    and exactly the pixels of the rn-point subset (host checked
+    exactly); rn=0 reproduces the legacy full-cloud image bit-for-bit."""
+    rn = cfg.input_pt_num // 4
+    cfg_rn = cfg.replace(img_render_n=rn)
+
+    full = synthetic_batch(cfg, batch_size=2, seed=5)
+    sub = synthetic_batch(cfg_rn, batch_size=2, seed=5)
+    # same scene stream: clouds identical, only the image differs
+    assert np.allclose(full["pc"], sub["pc"])
+    n_full = (full["img"][..., 2] == 128.0).sum()
+    n_sub = (sub["img"][..., 2] == 128.0).sum()
+    assert 0 < n_sub < n_full
+    # the subset image equals a render of the truncated cloud (device
+    # renderer as the oracle: its splat parity with the host is covered
+    # by test_renderer_matches_host_splat)
+    trunc = {k: (v[:, :rn] if k in ("pc", "intensity", "sn") else v)
+             for k, v in full.items()}
+    for b in range(2):
+        img_j, _ = _render(jnp.asarray(trunc["pc"][b]),
+                           jnp.asarray(trunc["intensity"][b]),
+                           jnp.asarray(full["P"][b]),
+                           jnp.asarray(full["K"][b]),
+                           cfg.img_H, cfg.img_W, jax.random.PRNGKey(0),
+                           False)
+        pm_host = sub["img"][b, ..., 2] == 128.0
+        pm_dev = np.asarray(img_j[..., 2]) == 128.0
+        assert (pm_host == pm_dev).mean() > 0.999
+
+    # device generator honours the knob too
+    dj_full = synthetic_batch_jax(cfg, jax.random.PRNGKey(4), batch_size=2)
+    dj_sub = synthetic_batch_jax(cfg_rn, jax.random.PRNGKey(4), batch_size=2)
+    assert np.allclose(np.asarray(dj_full["pc"]), np.asarray(dj_sub["pc"]))
+    n_full_j = (np.asarray(dj_full["img"][..., 2]) == 128.0).sum()
+    n_sub_j = (np.asarray(dj_sub["img"][..., 2]) == 128.0).sum()
+    assert 0 < n_sub_j < n_full_j
+    # legacy: img_render_n=0 is bit-identical to the unset default
+    dj_zero = synthetic_batch_jax(cfg.replace(img_render_n=0),
+                                  jax.random.PRNGKey(4), batch_size=2)
+    assert np.array_equal(np.asarray(dj_zero["img"]),
+                          np.asarray(dj_full["img"]))
