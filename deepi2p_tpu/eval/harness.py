@@ -52,7 +52,9 @@ def evaluate_registration(data_dir: str, *, method: str = "frustum",
                           inside_threshold: Optional[float] = None,
                           confidence_gamma: Optional[float] = None,
                           icp_coarse_threshold: Optional[float] = None,
-                          icp_seed: str = "none"
+                          icp_seed: str = "none",
+                          probe_stride: Optional[int] = None,
+                          survivors: Optional[int] = None
                           ) -> Dict[str, float]:
     """Run a solver over a dump directory and summarise RTE/RRE/success.
 
@@ -89,6 +91,10 @@ def evaluate_registration(data_dir: str, *, method: str = "frustum",
         the same predictions (the reference never composes its solvers;
         with a working classifier this turns ICP from the weakest
         baseline into a refinement stage).
+      probe_stride / survivors: successive-halving knobs forwarded to
+        :func:`solve_frustum_batch` (frustum only; None keeps the solver
+        defaults).  Re-pinned under structured noise — see
+        scripts/probe_halving.py and BENCH_NOTES round-5 session 5.
     """
     prefixes = list_dump_prefixes(data_dir)[::stride]
     dumps = [load_dump(data_dir, p) for p in prefixes]
@@ -197,7 +203,13 @@ def evaluate_registration(data_dir: str, *, method: str = "frustum",
                                               max_iter=max_iter,
                                               outside_weight=outside_weight,
                                               edge_margin_px=edge_margin_px,
-                                              point_weights=pw)
+                                              point_weights=pw,
+                                              **({} if probe_stride is None
+                                                 else {"probe_stride":
+                                                       probe_stride}),
+                                              **({} if survivors is None
+                                                 else {"survivors":
+                                                       survivors}))
             elif method == "pnp":
                 ffield = "fine_label" if use_labels else "fine_pred"
                 fine = jnp.asarray(np.stack([d[ffield] for d in chunk]))

@@ -356,11 +356,17 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng=None,
     ``probe_stride`` additionally subsamples the *ranking* phase of the
     successive-halving pallas path only — survivor refinement (which alone
     produces the returned poses) always runs at ``solver_stride``.  The
-    default targets a TOTAL probe subsample of every 8th point regardless
-    of ``solver_stride`` (the deepest ranking subsample that kept 32/32
-    success at 10% label noise on bench-scale problems, perf_probe8.py).
+    default targets a TOTAL probe subsample of every 4th point regardless
+    of ``solver_stride``.  Round 2 pinned every-8th on the 10%-iid gate
+    (perf_probe8.py); round 5's structured-noise re-pin
+    (scripts/probe_halving.py, on chip) showed every-8th probing drops
+    the sector-noise gate from 20/32 to 13/32 *independently of survivor
+    width* — the probe's 8 LM iterations converge every survivor theta
+    into subsample-distorted minima that refinement cannot escape — while
+    every-4th matches full-density ranking (20 vs 19 of 32).
     ``survivors`` sets how many inits graduate from the probe phase
-    (default: the best eighth, rounded to the pallas init block).
+    (default: the best eighth, rounded to the pallas init block; width
+    was quality-neutral at every probed stride).
 
     ``backend``: 'auto' picks the single-launch Pallas mega-kernel on TPU
     (``frustum_pallas``) and the XLA scan path elsewhere; 'pallas'/'xla'
@@ -391,7 +397,7 @@ def solve_frustum_batch(pc, pred_inside, K, *, H: int, W: int, rng=None,
     """
     B = pc.shape[0]
     if probe_stride is None:
-        probe_stride = max(1, 8 // solver_stride)
+        probe_stride = max(1, 4 // solver_stride)
     t_lb_t = tuple(float(v) for v in t_lb)
     t_ub_t = tuple(float(v) for v in t_ub)
     t_lb = jnp.asarray(t_lb_t)

@@ -102,6 +102,13 @@ def main(argv=None):
                     help="the reference's init budget "
                          "(registration_lsq.py:337-343)")
     ap.add_argument("--max-iter", type=int, default=64)
+    ap.add_argument("--probe-stride", type=int, default=0,
+                    help="frustum successive-halving probe point stride "
+                         "(0 = solver default); re-pinned under structured "
+                         "noise by scripts/probe_halving.py")
+    ap.add_argument("--survivors", type=int, default=0,
+                    help="frustum halving survivor count (0 = solver "
+                         "default)")
     ap.add_argument("--depth-checkpoint", default="",
                     help="optional monodepth ckpt: ICP row runs from "
                          "ESTIMATED depth instead of the GT-depth oracle")
@@ -174,6 +181,10 @@ def run_one(args, cfg, checkpoint, dump_dir=None, out_json=None):
 
     H, W = cfg.img_H, cfg.img_W
     common = dict(H=H, W=W, n_inits=args.n_inits, max_iter=args.max_iter)
+    if args.probe_stride:
+        common["probe_stride"] = args.probe_stride
+    if args.survivors:
+        common["survivors"] = args.survivors
     rows = {}
 
     result = {

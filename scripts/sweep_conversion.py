@@ -65,7 +65,8 @@ def host_operating_points(dump_dir, thresholds):
     return rows
 
 
-def per_pair_anatomy(dump_dir, H, W, n_inits, max_iter, seed=0):
+def per_pair_anatomy(dump_dir, H, W, n_inits, max_iter, seed=0,
+                     halving=None):
     """Argmax-point per-pair success vs per-pair error stats."""
     from deepi2p_tpu.eval.dump import load_dump, list_dump_prefixes
     from deepi2p_tpu.eval.harness import evaluate_registration
@@ -74,7 +75,8 @@ def per_pair_anatomy(dump_dir, H, W, n_inits, max_iter, seed=0):
     save_dir = os.path.join(dump_dir, "_anatomy")
     summ = evaluate_registration(dump_dir, method="frustum", H=H, W=W,
                                  n_inits=n_inits, max_iter=max_iter,
-                                 seed=seed, save_dir=save_dir)
+                                 seed=seed, save_dir=save_dir,
+                                 **(halving or {}))
     P_pred_all = np.load(os.path.join(save_dir, "P_pred_all_np.npy"))
     P_gt_all = np.load(os.path.join(save_dir, "P_gt_all_np.npy"))
     prefixes = list_dump_prefixes(dump_dir)
@@ -120,6 +122,7 @@ def per_pair_anatomy(dump_dir, H, W, n_inits, max_iter, seed=0):
 def margin_sweep(args, anchor, evaluate_registration, H, W, on_row=None):
     """Sweep the frustum cost's ``edge_margin_px`` at a fixed
     (threshold, outside_weight) operating point."""
+    halving = getattr(args, "halving", None) or {}
     rows = []
     for m in args.edge_margins:
         succ = []
@@ -129,7 +132,7 @@ def margin_sweep(args, anchor, evaluate_registration, H, W, on_row=None):
                 n_inits=args.n_inits, max_iter=args.max_iter, seed=seed,
                 inside_threshold=anchor["threshold"],
                 outside_weight=anchor["outside_weight"],
-                edge_margin_px=m)
+                edge_margin_px=m, **halving)
             succ.append(summ["success_rate"])
         row = {"edge_margin_px": m,
                "threshold": anchor["threshold"],
@@ -173,12 +176,23 @@ def main(argv=None):
     ap.add_argument("--out-weights", type=float, nargs="*", default=None,
                     help="override the outside_weight grid (non-1.0 "
                          "values route through the slow generic LM path)")
+    ap.add_argument("--probe-stride", type=int, default=0,
+                    help="frustum halving probe point stride for all "
+                         "frustum rows (0 = solver default); re-pinned "
+                         "under structured noise, scripts/probe_halving.py")
+    ap.add_argument("--survivors", type=int, default=0,
+                    help="frustum halving survivor count (0 = default)")
     ap.add_argument("--skip-confidence", action="store_true")
     ap.add_argument("--host-only", action="store_true",
                     help="operating-point stats only (pure numpy, no "
                          "solver) — safe to run concurrently with a "
                          "live chip job")
     args = ap.parse_args(argv)
+    args.halving = {}
+    if args.probe_stride:
+        args.halving["probe_stride"] = args.probe_stride
+    if args.survivors:
+        args.halving["survivors"] = args.survivors
 
     from deepi2p_tpu.eval.harness import evaluate_registration
 
@@ -247,7 +261,8 @@ def main(argv=None):
                 summ = evaluate_registration(
                     args.dump_dir, method="frustum", H=H, W=W,
                     n_inits=args.n_inits, max_iter=args.max_iter,
-                    seed=seed, inside_threshold=t, outside_weight=w)
+                    seed=seed, inside_threshold=t, outside_weight=w,
+                    **args.halving)
                 succ.append(summ["success_rate"])
             row = {"threshold": t, "outside_weight": w,
                    "success_mean": float(np.mean(succ)),
@@ -264,7 +279,7 @@ def main(argv=None):
             args.dump_dir, method="frustum", H=H, W=W,
             n_inits=args.n_inits, max_iter=args.max_iter, seed=seed,
             inside_threshold=best["threshold"],
-            outside_weight=best["outside_weight"])
+            outside_weight=best["outside_weight"], **args.halving)
         succ.append(summ["success_rate"])
     result["best"] = {**best,
                       "final_seeds": args.final_seeds,
@@ -286,7 +301,7 @@ def main(argv=None):
                 n_inits=args.n_inits, max_iter=args.max_iter, seed=seed,
                 inside_threshold=best["threshold"],
                 outside_weight=best["outside_weight"],
-                confidence_gamma=g)
+                confidence_gamma=g, **args.halving)
             succ.append(summ["success_rate"])
         row = {"gamma": g, "success_mean": float(np.mean(succ)),
                "per_seed": succ}
@@ -304,7 +319,8 @@ def main(argv=None):
 
     if not args.skip_anatomy:
         result["anatomy"] = per_pair_anatomy(
-            args.dump_dir, H, W, args.n_inits, args.max_iter)
+            args.dump_dir, H, W, args.n_inits, args.max_iter,
+            halving=args.halving)
         a = dict(result["anatomy"])
         a.pop("pairs")
         print("anatomy:", json.dumps(a), flush=True)

@@ -32,6 +32,7 @@ def _make_problem(rng, yaw, t, n=1024):
     return pc, labels, P
 
 
+@pytest.mark.slow  # 104 s measured (tests/.last_durations.json)
 def test_rodrigues_matches_scipy(rng):
     from scipy.spatial.transform import Rotation
     for _ in range(5):
@@ -244,6 +245,7 @@ def test_point_weights_generic_path(rng):
     assert rte < 2.0 and rre < 5.0, (rte, rre)
 
 
+@pytest.mark.slow  # 97 s measured (tests/.last_durations.json)
 def test_edge_margin_semantics(rng):
     """edge_margin_px (round-5 conversion lever): the margin flattens the
     cost exactly in a band around the frame edges.

@@ -31,6 +31,7 @@ def test_contract_matches_numpy(cfg):
         assert dj_b[k].dtype == np_b[k].dtype, k
 
 
+@pytest.mark.slow  # 320 s measured (tests/.last_durations.json)
 def test_renderer_matches_host_splat(cfg):
     """Given the SAME cloud/intensity/pose, the device renderer must
     reproduce the host's z-buffered splat: identical point-pixel set and
