@@ -60,6 +60,9 @@ def main(argv=None):
                         "subsets and ensemble per-point probabilities "
                         "(eval.dump.SubsampleEnsemble); the dump stays at "
                         "--points; 0 = off")
+    d.add_argument("--classify-repeats", type=int, default=1,
+                   help="average the ensemble over this many independent "
+                        "shuffled covers (variance reduction; linear cost)")
 
     dd = sub.add_parser("depth-dump",
                         help="estimated-depth pseudo point clouds for ICP "
@@ -225,7 +228,8 @@ def main(argv=None):
             mgr.close()
     if args.classify_n:
         from .dump import SubsampleEnsemble
-        engine = SubsampleEnsemble(engine, seed=0)
+        engine = SubsampleEnsemble(engine, seed=0,
+                                   repeats=args.classify_repeats)
     coarse_acc, fine_acc = dump_predictions(
         engine, state, iter(loader), cfg, args.out,
         max_batches=args.max_batches, save_images=args.save_images,

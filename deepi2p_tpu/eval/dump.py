@@ -81,6 +81,13 @@ class SubsampleEnsemble:
     trained density, and averages the inside-probabilities per point
     (points covered twice by the wrap-around pad get the mean).
 
+    ``repeats`` averages over that many INDEPENDENT shuffled covers: each
+    point's probability then pools ``repeats`` different subset contexts,
+    reducing the per-point variance the random cover induces (a point near
+    the frustum boundary can flip with its neighborhood draw).  Cost is
+    linear in ``repeats``; the fine cell prediction keeps the last cover's
+    value (cells are integers — only the probabilities average).
+
     The reference cannot express this — its eval N always equals the
     training ``input_pt_num`` (``kitti/options.py``); this mode is what
     lets the TPU rebuild serve clouds larger than the trained size without
@@ -89,9 +96,10 @@ class SubsampleEnsemble:
     takes it as a drop-in ``engine``.
     """
 
-    def __init__(self, engine, *, seed: int = 0):
+    def __init__(self, engine, *, seed: int = 0, repeats: int = 1):
         self.engine = engine
         self.cfg = engine.cfg
+        self.repeats = max(1, int(repeats))
         self._rng = np.random.default_rng(seed)
 
     def infer_probs(self, state, batch):
@@ -104,20 +112,21 @@ class SubsampleEnsemble:
         n_sub = -(-N // sub_n)  # ceil
         ma, mb = self.cfg.node_a_num, self.cfg.node_b_num
 
-        # per-sample shuffled cover: a permutation of [0, N) padded with a
-        # wrap-around slice to n_sub * sub_n, reshaped to n_sub subsets —
-        # every point is covered >= 1x, pad points 2x
-        idx = np.stack([self._rng.permutation(N) for _ in range(B)])
-        total = n_sub * sub_n
-        reps = -(-total // N)  # tile covers sub_n > N too (dup-safe below)
-        idx = np.tile(idx, (1, reps))[:, :total].reshape(B, n_sub, sub_n)
-
         p_sum = np.zeros((B, N), np.float64)
         cnt = np.zeros((B, N), np.float64)
         fine = np.zeros((B, N), np.int32)
         have_fine = False
-        for s in range(n_sub):
-            take = idx[:, s]  # (B, sub_n)
+        takes = []  # (B, sub_n) subset index blocks, all repeats flattened
+        for _r in range(self.repeats):
+            # per-sample shuffled cover: a permutation of [0, N) padded
+            # with a wrap-around slice to n_sub * sub_n, reshaped to n_sub
+            # subsets — every point is covered >= 1x, pad points 2x
+            idx = np.stack([self._rng.permutation(N) for _ in range(B)])
+            total = n_sub * sub_n
+            reps = -(-total // N)  # tile covers sub_n > N too (dup-safe)
+            idx = np.tile(idx, (1, reps))[:, :total].reshape(B, n_sub, sub_n)
+            takes.extend(idx[:, s] for s in range(n_sub))
+        for take in takes:  # (B, sub_n)
             pc_s = np.take_along_axis(pc, take[..., None], axis=1)
             # nodes drawn from the SUBSET: reproduces the trained
             # points-per-node statistics the whole mode exists to restore

@@ -72,7 +72,8 @@ def build_dump(args, cfg, checkpoint, dump_dir, _cache={}):
     state = warm_start_npz(_cache["template"], checkpoint, engine.tx)
     step = int(state.step)
     if args.classify_n:
-        engine = SubsampleEnsemble(engine, seed=0)
+        engine = SubsampleEnsemble(engine, seed=0,
+                                   repeats=args.classify_repeats)
     coarse_acc, fine_acc = dump_predictions(
         engine, state, iter(loader), cfg, dump_dir, save_probs=True,
         save_images=args.save_images)
@@ -121,6 +122,14 @@ def main(argv=None):
                          "points-per-node statistics when --points exceeds "
                          "the training N (round-5: N=20480 through the "
                          "N=8192 kitti-shape model); 0 = off")
+    ap.add_argument("--classify-repeats", type=int, default=1,
+                    help="average the ensemble over this many INDEPENDENT "
+                         "shuffled covers (variance reduction on the "
+                         "per-point subset-context noise); cost is linear")
+    ap.add_argument("--dump-only", action="store_true",
+                    help="write the dump (+ accuracy line) and exit "
+                         "before any solver row — for operating-point "
+                         "probes where the table may not be wanted")
     ap.add_argument("--img-render-n", type=int, default=0,
                     help="render the synthetic camera image from this many "
                          "(permuted) points instead of all --points — pins "
@@ -178,6 +187,9 @@ def run_one(args, cfg, checkpoint, dump_dir=None, out_json=None):
         print(json.dumps({"dump": dump_dir, "step": step,
                           "coarse_accuracy": coarse_acc,
                           "fine_accuracy": fine_acc}), flush=True)
+    if args.dump_only:
+        return {"dump": dump_dir, "step": step,
+                "coarse_accuracy": coarse_acc, "fine_accuracy": fine_acc}
 
     H, W = cfg.img_H, cfg.img_W
     common = dict(H=H, W=W, n_inits=args.n_inits, max_iter=args.max_iter)
@@ -198,6 +210,7 @@ def run_one(args, cfg, checkpoint, dump_dir=None, out_json=None):
         "config": {"points": args.points, "nodes": args.nodes,
                    "img": [args.img_h, args.img_w], "preset": args.preset,
                    "classify_n": args.classify_n,
+                   "classify_repeats": args.classify_repeats,
                    "img_render_n": args.img_render_n},
         "rows": rows,
     }

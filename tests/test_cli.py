@@ -171,7 +171,7 @@ def test_eval_cli_dump_classify_n(tmp_path):
     main(["dump", "--dataset", "synthetic", "--out", out,
           "--batch-size", "2", "--max-batches", "1",
           "--points", "96", "--nodes", "8", "--img-h", "32", "--img-w", "64",
-          "--classify-n", "64", "--save-probs"])
+          "--classify-n", "64", "--classify-repeats", "2", "--save-probs"])
     d = np.load(os.path.join(out, "000000_00_pc_label.npy"))
     p = np.load(os.path.join(out, "000000_00_p.npy"))
     assert d.shape == (7, 96) and p.shape == (96,)

@@ -82,6 +82,47 @@ def test_ensemble_infer_is_thresholded_probs():
     assert fine is not None
 
 
+@pytest.mark.parametrize("repeats", [2, 3])
+def test_ensemble_repeats_exact_and_coverage(repeats):
+    """repeats=R must still reproduce a pure per-point function exactly
+    (identical values average to themselves) and run R covers' worth of
+    sub-batches."""
+    rng = np.random.default_rng(4)
+    N, sub_n = 100, 32
+    batch = _batch(rng, 2, N)
+    eng = _StubEngine(sub_n)
+    p, fine = SubsampleEnsemble(eng, seed=3,
+                                repeats=repeats).infer_probs(None, batch)
+    p_ref = 1.0 / (1.0 + np.exp(-batch["pc"][..., 0]))
+    np.testing.assert_allclose(p, p_ref, rtol=1e-6)
+    np.testing.assert_array_equal(
+        fine, np.round(10.0 * batch["pc"][..., 2]).astype(np.int32))
+    assert len(eng.calls) == repeats * -(-N // sub_n)
+
+
+def test_ensemble_repeats_reduces_context_variance():
+    """With a subset-context-dependent stub, more repeats must pull the
+    averaged probability toward the context-free value (law of large
+    numbers over independent covers)."""
+    rng = np.random.default_rng(7)
+    batch = _batch(rng, 2, 96)
+
+    class _ContextStub(_StubEngine):
+        def infer_probs(self, state, b):
+            pc = np.asarray(b["pc"])
+            # per-point signal + a pure context term (subset mean)
+            p = 1.0 / (1.0 + np.exp(-(pc[..., 0] + 3.0 * pc[..., 1].mean())))
+            return p.astype(np.float32), None
+
+    p_ref = 1.0 / (1.0 + np.exp(-batch["pc"][..., 0]))
+    errs = []
+    for repeats in (1, 8):
+        p, _ = SubsampleEnsemble(_ContextStub(32), seed=11,
+                                 repeats=repeats).infer_probs(None, batch)
+        errs.append(float(np.abs(p - p_ref).mean()))
+    assert errs[1] < errs[0]
+
+
 def test_ensemble_deterministic_given_seed():
     rng = np.random.default_rng(2)
     batch = _batch(rng, 2, 100)
