@@ -85,8 +85,12 @@ class SubsampleEnsemble:
     point's probability then pools ``repeats`` different subset contexts,
     reducing the per-point variance the random cover induces (a point near
     the frustum boundary can flip with its neighborhood draw).  Cost is
-    linear in ``repeats``; the fine cell prediction keeps the last cover's
-    value (cells are integers — only the probabilities average).
+    linear in ``repeats``.  When the engine exposes ``infer_probs_fine``
+    (the real :class:`~deepi2p_tpu.train.engine.Engine` does), the fine
+    cell decision is the argmax of the cover-averaged PER-CELL softmax —
+    the fine head gets the same 1/R context-noise reduction the coarse
+    head gets (PnP is fine-accuracy-bound; round-5).  Engines without it
+    fall back to keep-last integer cells.
 
     The reference cannot express this — its eval N always equals the
     training ``input_pt_num`` (``kitti/options.py``); this mode is what
@@ -115,6 +119,8 @@ class SubsampleEnsemble:
         p_sum = np.zeros((B, N), np.float64)
         cnt = np.zeros((B, N), np.float64)
         fine = np.zeros((B, N), np.int32)
+        fine_sum = None  # (B, N, C) lazily, when the engine yields fine probs
+        use_fine_probs = hasattr(self.engine, "infer_probs_fine")
         have_fine = False
         takes = []  # (B, sub_n) subset index blocks, all repeats flattened
         for _r in range(self.repeats):
@@ -142,7 +148,10 @@ class SubsampleEnsemble:
                 np.take_along_axis(pc_s, na[..., None], axis=1))
             sub["node_b"] = jnp.asarray(
                 np.take_along_axis(pc_s, nb[..., None], axis=1))
-            p_s, fine_s = self.engine.infer_probs(state, sub)
+            if use_fine_probs:
+                p_s, fine_s = self.engine.infer_probs_fine(state, sub)
+            else:
+                p_s, fine_s = self.engine.infer_probs(state, sub)
             p_s = np.asarray(p_s, np.float64)
             np.put_along_axis(cnt, take, np.take_along_axis(cnt, take, 1) + 1,
                               axis=1)
@@ -151,9 +160,27 @@ class SubsampleEnsemble:
                               axis=1)
             if fine_s is not None:
                 have_fine = True
-                np.put_along_axis(fine, take, np.asarray(fine_s, np.int32),
-                                  axis=1)
+                if use_fine_probs:
+                    # accumulate the per-cell softmax; within one take the
+                    # indices are a permutation chunk (unique), so the
+                    # read-modify-write put is exact.  argmax at the end is
+                    # invariant to the per-point coverage count (whole
+                    # distribution rows accumulate together).
+                    fine_p = np.asarray(fine_s, np.float32)
+                    if fine_sum is None:
+                        fine_sum = np.zeros((B, N, fine_p.shape[-1]),
+                                            np.float32)
+                    idx3 = take[..., None]
+                    np.put_along_axis(
+                        fine_sum, idx3,
+                        np.take_along_axis(fine_sum, idx3, axis=1) + fine_p,
+                        axis=1)
+                else:
+                    np.put_along_axis(fine, take,
+                                      np.asarray(fine_s, np.int32), axis=1)
         p = (p_sum / np.maximum(cnt, 1.0)).astype(np.float32)
+        if have_fine and fine_sum is not None:
+            fine = np.argmax(fine_sum, axis=-1).astype(np.int32)
         return p, (fine if have_fine else None)
 
     def infer(self, state, batch):

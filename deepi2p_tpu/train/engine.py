@@ -62,6 +62,7 @@ class Engine:
         self._eval_step = jax.jit(self._eval_step_impl)
         self._infer = jax.jit(self._infer_impl)
         self._infer_probs = jax.jit(self._infer_probs_impl)
+        self._infer_probs_fine = jax.jit(self._infer_probs_fine_impl)
 
     # -- state ---------------------------------------------------------------
     def init_state(self, rng: jax.Array, example_batch: Dict[str, jax.Array]
@@ -188,6 +189,21 @@ class Engine:
                     jnp.argmax(fine_logits, axis=-1))
         return jax.nn.softmax(out, axis=-1)[..., 1], None
 
+    def _infer_probs_fine_impl(self, state: TrainState, batch):
+        """(p_inside (B,N) f32, fine_probs (B,N,C) f32 or None): like
+        :meth:`_infer_probs_impl` but with the FULL fine-cell softmax
+        instead of its argmax — the subsample-ensemble averages these
+        per-point distributions across covers, so the fine decision also
+        benefits from the 1/R context-noise reduction (keep-last integer
+        cells cannot average; round-5, PnP is fine-accuracy-bound)."""
+        out, _ = self._forward(state.params, state.batch_stats, batch, False,
+                               None)
+        if self.cfg.is_fine_resolution:
+            coarse_logits, fine_logits = out
+            return (jax.nn.softmax(coarse_logits, axis=-1)[..., 1],
+                    jax.nn.softmax(fine_logits, axis=-1))
+        return jax.nn.softmax(out, axis=-1)[..., 1], None
+
     # -- public API --------------------------------------------------------------
     def train_step(self, state, batch, rng):
         state, metrics = self._train_step(state, batch, rng)
@@ -207,3 +223,6 @@ class Engine:
 
     def infer_probs(self, state, batch):
         return self._infer_probs(state, batch)
+
+    def infer_probs_fine(self, state, batch):
+        return self._infer_probs_fine(state, batch)

@@ -123,6 +123,66 @@ def test_ensemble_repeats_reduces_context_variance():
     assert errs[1] < errs[0]
 
 
+class _FineProbStub(_StubEngine):
+    """Engine exposing ``infer_probs_fine``: per-point fine distribution
+    softmax(3 * onehot(round(10z) % C) + context), context = subset mean.
+    With context=0 the argmax equals the per-point cell exactly."""
+
+    C = 5
+
+    def __init__(self, sub_n, context_scale=0.0):
+        super().__init__(sub_n)
+        self.context_scale = context_scale
+
+    def infer_probs_fine(self, state, b):
+        pc = np.asarray(b["pc"])
+        self.calls.append({k: np.asarray(v).shape for k, v in b.items()})
+        p = 1.0 / (1.0 + np.exp(-pc[..., 0]))
+        cell = (np.round(10.0 * pc[..., 2]).astype(np.int64)) % self.C
+        logits = 3.0 * np.eye(self.C, dtype=np.float32)[cell]
+        if self.context_scale:
+            # a context term that favors a subset-dependent OTHER cell
+            ctx_cell = int(abs(pc[..., 1].mean()) * 1e3) % self.C
+            logits[..., ctx_cell] += self.context_scale
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        return p.astype(np.float32), (e / e.sum(-1, keepdims=True))
+
+
+def test_ensemble_fine_probs_reproduce_per_point_cells():
+    """With ``infer_probs_fine`` available the ensemble must average the
+    fine DISTRIBUTIONS and argmax at the end — for a pure per-point
+    distribution that equals the per-point cell everywhere."""
+    rng = np.random.default_rng(9)
+    N, sub_n = 100, 32
+    batch = _batch(rng, 2, N)
+    eng = _FineProbStub(sub_n)
+    p, fine = SubsampleEnsemble(eng, seed=3, repeats=2).infer_probs(
+        None, batch)
+    p_ref = 1.0 / (1.0 + np.exp(-batch["pc"][..., 0]))
+    np.testing.assert_allclose(p, p_ref, rtol=1e-5)
+    cell_ref = (np.round(10.0 * batch["pc"][..., 2]).astype(np.int64)
+                ) % _FineProbStub.C
+    np.testing.assert_array_equal(fine, cell_ref.astype(np.int32))
+    assert len(eng.calls) == 2 * -(-N // sub_n)
+
+
+def test_ensemble_fine_probs_repeats_reduce_context_errors():
+    """Cover-averaging must wash a subset-context term out of the fine
+    argmax: more repeats -> fewer fine cell errors vs the per-point
+    truth (keep-last integer cells could not improve with repeats)."""
+    rng = np.random.default_rng(12)
+    batch = _batch(rng, 2, 96)
+    cell_ref = (np.round(10.0 * batch["pc"][..., 2]).astype(np.int64)
+                ) % _FineProbStub.C
+    errs = []
+    for repeats in (1, 8):
+        _, fine = SubsampleEnsemble(
+            _FineProbStub(32, context_scale=3.2), seed=11,
+            repeats=repeats).infer_probs(None, batch)
+        errs.append(float((fine != cell_ref).mean()))
+    assert errs[1] < errs[0]
+
+
 def test_ensemble_deterministic_given_seed():
     rng = np.random.default_rng(2)
     batch = _batch(rng, 2, 100)
