@@ -39,6 +39,13 @@ def _random_pose(rng: np.random.Generator, cfg: Config) -> np.ndarray:
 
 
 def _street_cloud(rng: np.random.Generator, n: int):
+    """(pc, sn, intensity) of :func:`_street_scene` — kept for callers
+    that only need the cloud."""
+    pc, sn, inten, _ = _street_scene(rng, n)
+    return pc, sn, inten
+
+
+def _street_scene(rng: np.random.Generator, n: int):
     """Structured scene: points ON surfaces (ground plane, two street
     facades, box obstacles), with true surface normals and per-surface
     reflectance.
@@ -57,7 +64,12 @@ def _street_cloud(rng: np.random.Generator, n: int):
     the cloud — a learnable cross-modal cue (round-3: per-point-random
     intensity gave the classifier nothing region-level to match, and the
     dominant e2e failure was whole-wedge yaw confusion).
-    Returns (pc (n,3), sn (n,3), intensity (n,1)) float32; y is vertical.
+    Returns (pc (n,3), sn (n,3), intensity (n,1)) float32 plus the
+    analytic scene parameters (for :func:`raycast_street_depth` — the
+    surfaces the points were sampled from, so a DENSE GT depth map is
+    computable by ray casting instead of the sparse point splat);
+    y is vertical (+y is down: the ground plane sits at y=+2 with normal
+    (0,-1,0) and the camera at y=0).
     """
     n_g = int(n * 0.4)
     n_f = int(n * 0.4)
@@ -104,11 +116,79 @@ def _street_cloud(rng: np.random.Generator, n: int):
     inten = np.clip(np.concatenate([g_i, f_i, b_i]), 0.0, 1.0)
     inten = inten.astype(np.float32)[:, None]
     perm = rng.permutation(n)
-    return pc[perm], sn[perm], inten[perm]
+    scene = dict(wl=float(wl), wr=float(wr), ground_y=2.0,
+                 ground_x=30.0, zmax=40.0, facade_ymin=-6.0,
+                 facade_ymax=2.0, box_min=(centers - 0.5 * sizes),
+                 box_max=(centers + 0.5 * sizes))
+    return pc[perm], sn[perm], inten[perm], scene
+
+
+def raycast_street_depth(scene: dict, P: np.ndarray, K: np.ndarray,
+                         H: int, W: int, far: float = 88.0) -> np.ndarray:
+    """DENSE GT depth (H, W) float32 of a street scene by ray casting its
+    analytic surfaces (the splat z-buffer in :func:`synthetic_batch` is
+    sparse — ~N/(H*W) coverage — which leaves a monodepth net
+    unsupervised on most pixels; the pseudo point cloud for the ICP
+    pipeline then samples exactly those unsupervised pixels.  The
+    reference's monodepth2 stage trains on real dense photometric
+    supervision, ``evaluation/icp/save_depth_map.py:60-102``; dense
+    analytic depth is the synthetic-world equivalent).
+
+    ``P`` is the (3|4, 4) world->camera pose (``cam = R x + t``), ``K``
+    the intrinsics.  Rays that exit the scene (out past the sampled
+    ground/facade extents) get depth ``far`` — a supervised "void" the
+    net can learn to saturate, which :func:`deepi2p_tpu.eval.depth.
+    dump_pseudo_pointclouds` can then drop via ``max_depth``.
+    """
+    R, t = np.asarray(P[:3, :3], np.float64), np.asarray(P[:3, 3],
+                                                         np.float64)
+    C = -R.T @ t                           # camera centre, world frame
+    us, vs = np.meshgrid(np.arange(W, dtype=np.float64) + 0.5,
+                         np.arange(H, dtype=np.float64) + 0.5)
+    # dir_c has z == 1, so the ray parameter s IS the z-buffer depth
+    dir_c = np.stack([(us - K[0, 2]) / K[0, 0],
+                      (vs - K[1, 2]) / K[1, 1],
+                      np.ones_like(us)], axis=-1).reshape(-1, 3)
+    d = dir_c @ R                          # == R.T @ dir_c, world frame
+    eps = 1e-12
+    best = np.full(d.shape[0], np.inf)
+
+    def consider(s, valid):
+        nonlocal best
+        ok = valid & (s > 0.1)
+        best = np.where(ok & (s < best), s, best)
+
+    # ground plane y = ground_y, bounded |x| <= ground_x, |z| <= zmax
+    den = d[:, 1]
+    s = (scene["ground_y"] - C[1]) / np.where(np.abs(den) < eps, eps, den)
+    hit = C[None] + s[:, None] * d
+    consider(s, (np.abs(den) >= eps) & (np.abs(hit[:, 0]) <= scene["ground_x"])
+             & (np.abs(hit[:, 2]) <= scene["zmax"]))
+    # facades x = -wl / +wr, y in [facade_ymin, facade_ymax], |z| <= zmax
+    for x0 in (-scene["wl"], scene["wr"]):
+        den = d[:, 0]
+        s = (x0 - C[0]) / np.where(np.abs(den) < eps, eps, den)
+        hit = C[None] + s[:, None] * d
+        consider(s, (np.abs(den) >= eps)
+                 & (hit[:, 1] >= scene["facade_ymin"])
+                 & (hit[:, 1] <= scene["facade_ymax"])
+                 & (np.abs(hit[:, 2]) <= scene["zmax"]))
+    # box obstacles: AABB slab test
+    safe_d = np.where(np.abs(d) < eps, eps, d)
+    for bmin, bmax in zip(scene["box_min"], scene["box_max"]):
+        t0 = (bmin[None] - C[None]) / safe_d
+        t1 = (bmax[None] - C[None]) / safe_d
+        tnear = np.max(np.minimum(t0, t1), axis=1)
+        tfar = np.min(np.maximum(t0, t1), axis=1)
+        consider(tnear, tnear <= tfar)
+
+    depth = np.where(np.isfinite(best), best, far)
+    return np.minimum(depth, far).reshape(H, W).astype(np.float32)
 
 
 def synthetic_batch(cfg: Config, batch_size: int | None = None,
-                    seed: int = 0, with_depth: bool = False
+                    seed: int = 0, with_depth: bool = False,
+                    dense_depth: bool = False
                     ) -> Dict[str, np.ndarray]:
     """A full training batch of synthetic data (numpy, host-side).
 
@@ -116,17 +196,22 @@ def synthetic_batch(cfg: Config, batch_size: int | None = None,
     z-buffered GT depth of the rendered points, 0 where no point projects
     — the training target for the monocular depth net that feeds the ICP
     pipeline (the reference's monodepth2 stage,
-    ``evaluation/icp/save_depth_map.py:60-102``).
+    ``evaluation/icp/save_depth_map.py:60-102``).  ``dense_depth=True``
+    (street scenes only) replaces the sparse splat target with the DENSE
+    analytic depth of :func:`raycast_street_depth` — every pixel
+    supervised, scene-exit rays at the far cap.
     """
     rng = np.random.default_rng(seed)
     B = batch_size or cfg.batch_size
     N, Ma, Mb = cfg.input_pt_num, cfg.node_a_num, cfg.node_b_num
 
+    scenes = None
     if getattr(cfg, "synthetic_scene", "uniform") == "street":
-        clouds = [_street_cloud(rng, N) for _ in range(B)]
+        clouds = [_street_scene(rng, N) for _ in range(B)]
         pc = np.stack([c[0] for c in clouds])
         sn = np.stack([c[1] for c in clouds])
         intensity = np.stack([c[2] for c in clouds])
+        scenes = [c[3] for c in clouds]
     else:
         # Points roughly in front of a camera at ~5..40 m, some behind.
         pc = np.stack([rng.uniform(-30, 30, (B, N)),
@@ -142,6 +227,7 @@ def synthetic_batch(cfg: Config, batch_size: int | None = None,
     pose_cfg = cfg if cfg.dataset != "nuscenes" else cfg.replace(
         P_Ry_amplitude=cfg.P_Rz_amplitude, P_Rz_amplitude=0.0)
     P = np.stack([_random_pose(rng, pose_cfg)[:3] for _ in range(B)])
+    P_cam = P.copy()   # camera-convention pose (pre nuScenes ENU re-expr.)
     if cfg.dataset == "nuscenes":
         # nuScenes clouds live in ENU (z up) and the random rotation is
         # about z (``nuscenes_t/options.py:42``); the eval path converts
@@ -200,6 +286,13 @@ def synthetic_batch(cfg: Config, batch_size: int | None = None,
         if depth_gt is not None:
             depth_gt[b, vi, ui] = zi
 
+    if depth_gt is not None and dense_depth:
+        if scenes is None:
+            raise ValueError("dense_depth=True needs synthetic_scene="
+                             "'street' (analytic surfaces to ray cast)")
+        depth_gt = np.stack([
+            raycast_street_depth(scenes[b], P_cam[b], K[b],
+                                 cfg.img_H, cfg.img_W) for b in range(B)])
     out = dict(pc=pc, intensity=intensity, sn=sn, node_a=node_a,
                node_b=node_b, P=P.astype(np.float32), img=img, K=K)
     if depth_gt is not None:

@@ -24,13 +24,19 @@ from ..register.icp import depth_to_pointcloud
 
 def dump_pseudo_pointclouds(image_dir_or_items: Iterable, K: np.ndarray,
                             depth_fn: Callable[[np.ndarray], np.ndarray],
-                            out_dir: str, *, stride: int = 4):
+                            out_dir: str, *, stride: int = 4,
+                            max_depth: float = 0.0):
     """For each (prefix, image) item write ``{prefix}_pc.npy`` (3, M).
 
     Args:
       image_dir_or_items: iterable of (prefix, image (H, W, 3)) pairs.
       K: (3, 3) intrinsics of the images.
       depth_fn: any depth estimator.
+      max_depth: if > 0, drop pixels whose estimated depth is >= this —
+        a depth net trained on dense ray-cast targets saturates
+        scene-exit rays at the far cap (``data.synthetic.
+        raycast_street_depth``), and those "sky" pixels must not feed
+        the ICP target cloud (they sit past every real surface).
     """
     os.makedirs(out_dir, exist_ok=True)
     n = 0
@@ -38,6 +44,8 @@ def dump_pseudo_pointclouds(image_dir_or_items: Iterable, K: np.ndarray,
         depth = np.asarray(depth_fn(img), np.float32)
         pc = np.asarray(depth_to_pointcloud(jnp.asarray(depth),
                                             jnp.asarray(K), stride=stride))
+        if max_depth > 0:
+            pc = pc[pc[:, 2] < max_depth]
         np.save(os.path.join(out_dir, f"{prefix}_pc.npy"),
                 pc.T.astype(np.float32))   # (3, M) like the reference
         n += 1

@@ -37,11 +37,11 @@ def make_train_step(model, tx):
 
 def train_depth(cfg, *, steps: int, batch_size: int, lr: float,
                 seed: int = 0, log_every: int = 50,
-                eval_batches: int = 4):
+                eval_batches: int = 4, dense: bool = False):
     model = DepthNet(dtype=jnp.dtype(cfg.compute_dtype)
                      if cfg.compute_dtype != "float32" else None)
     ex = synthetic_batch(cfg, batch_size=batch_size, seed=(seed << 40),
-                         with_depth=True)
+                         with_depth=True, dense_depth=dense)
     params = model.init(jax.random.PRNGKey(seed), jnp.asarray(ex["img"]))
     tx = optax.adam(optax.cosine_decay_schedule(lr, steps))
     opt_state = tx.init(params)
@@ -50,7 +50,8 @@ def train_depth(cfg, *, steps: int, batch_size: int, lr: float,
     t0 = time.time()
     for i in range(steps):
         b = synthetic_batch(cfg, batch_size=batch_size,
-                            seed=(seed << 40) + 1 + i, with_depth=True)
+                            seed=(seed << 40) + 1 + i, with_depth=True,
+                            dense_depth=dense)
         params, opt_state, loss = step_fn(params, opt_state,
                                           jnp.asarray(b["img"]),
                                           jnp.asarray(b["depth"]))
@@ -62,7 +63,8 @@ def train_depth(cfg, *, steps: int, batch_size: int, lr: float,
     errs = []
     for i in range(eval_batches):
         b = synthetic_batch(cfg, batch_size=batch_size,
-                            seed=((seed + 1) << 40) + i, with_depth=True)
+                            seed=((seed + 1) << 40) + i, with_depth=True,
+                            dense_depth=dense)
         pred = model.apply(params, jnp.asarray(b["img"]))
         errs.append(float(depth_loss(pred, jnp.asarray(b["depth"]))))
     val = float(np.mean(errs))
@@ -118,6 +120,11 @@ def main(argv=None):
                    help="training image height — match the geometry of the "
                         "dump the depth maps will be estimated for")
     p.add_argument("--img-w", type=int, default=96)
+    p.add_argument("--dense-targets", action="store_true",
+                   help="train on DENSE ray-cast GT depth (street scenes) "
+                        "instead of the sparse splat z-buffer — every "
+                        "pixel supervised, scene-exit rays at the far cap "
+                        "(see data.synthetic.raycast_street_depth)")
     p.add_argument("--checkpoints-dir", default="depth_checkpoints")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
@@ -127,7 +134,7 @@ def main(argv=None):
                           img_H=args.img_h, img_W=args.img_w)
     _, params, val = train_depth(cfg, steps=args.steps,
                                  batch_size=args.batch_size, lr=args.lr,
-                                 seed=args.seed)
+                                 seed=args.seed, dense=args.dense_targets)
     save_depth_params(params, args.checkpoints_dir)
     print(f"saved depth checkpoint to {args.checkpoints_dir} "
           f"(val log-L1 {val:.4f})")

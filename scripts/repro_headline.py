@@ -110,6 +110,11 @@ def main(argv=None):
     ap.add_argument("--survivors", type=int, default=0,
                     help="frustum halving survivor count (0 = solver "
                          "default)")
+    ap.add_argument("--pseudo-max-depth", type=float, default=0.0,
+                    help="drop estimated-depth pixels >= this from the "
+                         "pseudo cloud (use ~85 with a --dense-targets "
+                         "depth net, whose scene-exit rays saturate at "
+                         "the 88 m far cap); 0 keeps all pixels")
     ap.add_argument("--depth-checkpoint", default="",
                     help="optional monodepth ckpt: ICP row runs from "
                          "ESTIMATED depth instead of the GT-depth oracle")
@@ -261,7 +266,8 @@ def run_one(args, cfg, checkpoint, dump_dir=None, out_json=None):
             img_path = os.path.join(dump_dir, prefix + "_img.npy")
             K = np.load(os.path.join(dump_dir, prefix + "_K.npy"))
             dump_pseudo_pointclouds([(prefix, np.load(img_path))], K,
-                                    depth_fn, pseudo_dir)
+                                    depth_fn, pseudo_dir,
+                                    max_depth=args.pseudo_max_depth)
         icp_depth = "estimated"
     else:
         from deepi2p_tpu.eval.dump import load_dump, list_dump_prefixes
