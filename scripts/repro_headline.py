@@ -131,6 +131,11 @@ def main(argv=None):
                     help="average the ensemble over this many INDEPENDENT "
                          "shuffled covers (variance reduction on the "
                          "per-point subset-context noise); cost is linear")
+    ap.add_argument("--only-icp", action="store_true",
+                    help="skip the frustum/PnP rows and run only the ICP "
+                         "(+ seeded) and random rows — for depth-chain "
+                         "re-runs where the other rows already exist in a "
+                         "committed headline at the same dump")
     ap.add_argument("--dump-only", action="store_true",
                     help="write the dump (+ accuracy line) and exit "
                          "before any solver row — for operating-point "
@@ -226,27 +231,31 @@ def run_one(args, cfg, checkpoint, dump_dir=None, out_json=None):
         with open(out_json, "w") as f:
             json.dump(result, f, indent=2)
 
-    per_seed = []
-    for seed in range(args.seeds):
-        summ = evaluate_registration(dump_dir, method="frustum",
-                                     seed=seed, **common)
-        per_seed.append(summ)
-        print(f"frustum pred seed {seed}: {json.dumps(summ)}", flush=True)
+    if not args.only_icp:
+        per_seed = []
+        for seed in range(args.seeds):
+            summ = evaluate_registration(dump_dir, method="frustum",
+                                         seed=seed, **common)
+            per_seed.append(summ)
+            print(f"frustum pred seed {seed}: {json.dumps(summ)}",
+                  flush=True)
+            _write()
+        rows["frustum_pred"] = {
+            k: float(np.mean([s[k] for s in per_seed]))
+            for k in per_seed[0]}
+        rows["frustum_pred"]["per_seed_success"] = [
+            s["success_rate"] for s in per_seed]
+
+        rows["frustum_oracle"] = evaluate_registration(
+            dump_dir, method="frustum", use_labels=True, seed=0, **common)
+        print(f"frustum oracle: {json.dumps(rows['frustum_oracle'])}",
+              flush=True)
         _write()
-    rows["frustum_pred"] = {
-        k: float(np.mean([s[k] for s in per_seed])) for k in per_seed[0]}
-    rows["frustum_pred"]["per_seed_success"] = [
-        s["success_rate"] for s in per_seed]
 
-    rows["frustum_oracle"] = evaluate_registration(
-        dump_dir, method="frustum", use_labels=True, seed=0, **common)
-    print(f"frustum oracle: {json.dumps(rows['frustum_oracle'])}", flush=True)
-    _write()
-
-    rows["pnp_pred"] = evaluate_registration(
-        dump_dir, method="pnp", seed=0, **common)
-    print(f"pnp pred: {json.dumps(rows['pnp_pred'])}", flush=True)
-    _write()
+        rows["pnp_pred"] = evaluate_registration(
+            dump_dir, method="pnp", seed=0, **common)
+        print(f"pnp pred: {json.dumps(rows['pnp_pred'])}", flush=True)
+        _write()
 
     pseudo_dir = os.path.join(dump_dir, "_pseudo")
     if args.depth_checkpoint:
